@@ -1,0 +1,67 @@
+"""Camera matrix + ray generation tests against the reference conventions."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from vkrt_tpu.utils.camera import Camera, generate_rays, look_at, perspective_vk
+
+
+def test_lookat_maps_eye_to_origin():
+    v = look_at((0, 0, 15), (0, 0, 0), (0, 1, 0))
+    p = v @ np.array([0, 0, 15, 1.0])
+    np.testing.assert_allclose(p[:3], 0, atol=1e-12)
+    # center maps onto -z axis at distance 15
+    c = v @ np.array([0, 0, 0, 1.0])
+    np.testing.assert_allclose(c[:3], [0, 0, -15], atol=1e-12)
+
+
+def test_perspective_vk_depth_range():
+    p = perspective_vk(60, 16 / 9, 0.1, 1000.0)
+    near = p @ np.array([0, 0, -0.1, 1.0])
+    far = p @ np.array([0, 0, -1000.0, 1.0])
+    np.testing.assert_allclose(near[2] / near[3], 0.0, atol=1e-9)
+    np.testing.assert_allclose(far[2] / far[3], 1.0, atol=1e-9)
+    # Vulkan Y flip: a point above center projects to negative y
+    up = p @ np.array([0, 1, -10, 1.0])
+    assert up[1] / up[3] < 0
+
+
+def test_center_ray_points_at_lookat_center():
+    w, h = 64, 64
+    cam = Camera().matrices(w, h)
+    jitter = jnp.full((w * h, 2), 0.5)
+    o, d = generate_rays(cam, w, h, jitter)
+    o, d = np.asarray(o), np.asarray(d)
+    np.testing.assert_allclose(o[0], [0, 0, 15], atol=1e-5)
+    center = d.reshape(h, w, 3)[h // 2, w // 2]
+    # the exact center pixel is offset half a pixel; direction ~ -z
+    assert center[2] < -0.999
+    np.testing.assert_allclose(np.linalg.norm(d, axis=1), 1.0, atol=1e-5)
+
+
+def test_ray_directions_match_projection_inverse():
+    """Top-left pixel ray must pass through NDC (-1,-1) on the near plane,
+    i.e. up and left of center in world space for the default camera."""
+    w, h = 8, 8
+    cam = Camera().matrices(w, h)
+    jitter = jnp.zeros((w * h, 2))
+    _, d = generate_rays(cam, w, h, jitter)
+    d = np.asarray(d).reshape(h, w, 3)
+    # default camera at +z looking at origin, up +y, right +x:
+    topleft = d[0, 0]
+    assert topleft[1] > 0  # up
+    assert topleft[0] < 0  # left
+    bottomright = d[-1, -1]
+    assert bottomright[1] < 0 and bottomright[0] > 0
+
+
+def test_fov_controls_spread():
+    w, h = 32, 32
+    wide = Camera(fov_deg=90.0).matrices(w, h)
+    narrow = Camera(fov_deg=30.0).matrices(w, h)
+    jitter = jnp.zeros((w * h, 2))
+    _, dw = generate_rays(wide, w, h, jitter)
+    _, dn = generate_rays(narrow, w, h, jitter)
+    spread_w = float(np.asarray(dw)[0] @ np.asarray(dw)[-1])
+    spread_n = float(np.asarray(dn)[0] @ np.asarray(dn)[-1])
+    assert spread_w < spread_n  # wider fov -> corner rays farther apart

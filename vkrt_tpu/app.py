@@ -1,0 +1,129 @@
+"""Headless CLI app — the ``main()`` + ImGui panel replacement.
+
+Exposes the same parameter surface the reference's UI does (main.cpp:67-105):
+render mode, bounces, spp, shadows/AO/GI toggles, view-accumulated, max
+frames, clear color — plus frame count and PNG output since we render
+headless. Reads the reference's exact ``config.json`` schema.
+
+Usage:
+    python -m vkrt_tpu.app --config config.json --frames 16 --out out.png
+    python -m vkrt_tpu.app --scene path/to.gltf --mode path --spp 2 --depth 5
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+from vkrt_tpu.config import (
+    DEFAULT_CLEAR_COLOR,
+    EngineConfig,
+    RenderSettings,
+    load_config,
+    resolve_scene_path,
+)
+from vkrt_tpu.utils.png import write_png
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--config", default=None, help="config.json path")
+    p.add_argument("--scene", default=None, help="override scene file (.gltf/.glb)")
+    p.add_argument("--scene-index", type=int, default=None, help="index into config scenes[]")
+    p.add_argument("--width", type=int, default=None)
+    p.add_argument("--height", type=int, default=None)
+    p.add_argument("--mode", choices=["hybrid", "path"], default="hybrid",
+                   help="render mode (main.cpp:457; default hybrid like the reference)")
+    p.add_argument("--spp", type=int, default=1, help="samples/pixel 1-100")
+    p.add_argument("--depth", type=int, default=3, help="bounces 1-30")
+    p.add_argument("--frames", type=int, default=1, help="progressive frames to accumulate")
+    p.add_argument("--max-frames", type=int, default=None,
+                   help="enable the max-frames limiter at this count")
+    p.add_argument("--no-shadows", action="store_true")
+    p.add_argument("--no-ao", action="store_true")
+    p.add_argument("--gi", action="store_true", help="enable hybrid GI")
+    p.add_argument("--denoiser", action="store_true", help="enable SVGF denoiser (GI)")
+    p.add_argument("--view-accumulated", action="store_true")
+    p.add_argument("--clear-color", type=float, nargs=3, default=None)
+    p.add_argument("--backend", choices=["auto", "bruteforce", "bvh"], default="auto")
+    p.add_argument("--eye", type=float, nargs=3, default=None)
+    p.add_argument("--lookat", type=float, nargs=3, default=None)
+    p.add_argument("--fov", type=float, default=60.0)
+    p.add_argument("--out", default="out.png")
+    p.add_argument("--procedural", choices=["cornell", "city"], default=None,
+                   help="use a procedural scene instead of a file")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_argparser().parse_args(argv)
+
+    cfg = EngineConfig()
+    if args.config:
+        cfg = load_config(args.config)
+    elif os.path.exists("config.json"):
+        cfg = load_config("config.json")
+    if args.scene_index is not None:
+        cfg = EngineConfig(cfg.scenes, args.scene_index, cfg.vsync, cfg.width, cfg.height)
+    width = args.width or cfg.width
+    height = args.height or cfg.height
+
+    from vkrt_tpu import scene as scene_mod
+    from vkrt_tpu.engine import Engine
+    from vkrt_tpu.utils.camera import Camera
+
+    t0 = time.time()
+    if args.procedural == "cornell":
+        scene = scene_mod.make_cornell_box()
+    elif args.procedural == "city":
+        scene = scene_mod.make_city()
+    elif args.scene:
+        scene = scene_mod.load_scene(args.scene)
+    else:
+        path = resolve_scene_path(cfg)
+        if not os.path.exists(path):
+            print(f"scene {path} not found; using procedural cornell", file=sys.stderr)
+            scene = scene_mod.make_cornell_box()
+        else:
+            scene = scene_mod.load_scene(path)
+    print(f"scene loaded: {scene.num_tris} tris, {scene.num_lights} lights "
+          f"({time.time()-t0:.2f}s)")
+
+    settings = RenderSettings(
+        samples=args.spp,
+        depth=args.depth,
+        use_shadows=not args.no_shadows,
+        use_ao=not args.no_ao,
+        use_gi=args.gi,
+        rt_mode=1 if args.mode == "path" else 0,
+        view_accumulated=args.view_accumulated,
+        max_frames=args.max_frames or 1,
+        stop_at_max_frames=args.max_frames is not None,
+        use_denoiser=args.denoiser,
+        backend=args.backend,
+    )
+    cam = Camera(
+        eye=tuple(args.eye) if args.eye else (0.0, 0.0, 15.0),
+        center=tuple(args.lookat) if args.lookat else (0.0, 0.0, 0.0),
+        fov_deg=args.fov,
+    )
+    clear = tuple(args.clear_color) + (1.0,) if args.clear_color else DEFAULT_CLEAR_COLOR
+
+    engine = Engine(scene, width, height, settings, cam, clear)
+    t0 = time.time()
+    img = engine.render(frames=args.frames)
+    dt = time.time() - t0
+    mrays = engine.total_rays / dt / 1e6 if dt > 0 else 0.0
+    print(
+        f"{args.frames} frames at {width}x{height} in {dt:.3f}s "
+        f"({dt / args.frames * 1000:.1f} ms/frame, {mrays:.1f} Mrays/s incl. compile)"
+    )
+    write_png(args.out, img)
+    print(f"wrote {args.out}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,99 @@
+"""Config system: the reference's ``config.json`` schema + runtime settings.
+
+``config.json`` (reference config.json:1-13, parsed at main.cpp:136-145) has
+exactly: ``scenes`` (list of paths), ``scene`` (index), ``vsync`` (ignored
+headless), ``width``, ``height``. The reference parses with no defaults and
+no error handling; we keep the schema but default sanely.
+
+Runtime settings mirror the ImGui panel + push constants:
+``PushConstantRay`` {clearColor, frame, lightsCount, samples, depth,
+useShadows, useAO, useGI} (host_device.h:88-98) with defaults from
+``initRayTracing`` (hello_vulkan.cpp:911-918: spp=1, depth=3, shadows on,
+AO on, GI off, rtMode=0 hybrid) and ``PushConstantPost`` {rtMode,
+viewAccumulated, useGI} (hello_vulkan.h:170-178). ``samples``/``depth``/the
+toggles are *static* under jit — changing them recompiles, which is the XLA
+equivalent of the reference rebuilding nothing (push constants) but is the
+right trade: the bounce loop specializes and fuses per setting.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import List, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderSettings:
+    """Static render knobs (recompile on change)."""
+
+    samples: int = 1                  # spp slider 1-100 (main.cpp:78)
+    depth: int = 3                    # bounce slider 1-30 (main.cpp:75)
+    use_shadows: bool = True          # hybrid toggle (main.cpp:82)
+    use_ao: bool = True               # hybrid toggle (main.cpp:83)
+    use_gi: bool = False              # hybrid toggle (main.cpp:84)
+    rt_mode: int = 0                  # 0 = hybrid, 1 = path tracer (main.cpp:457)
+    view_accumulated: bool = False    # debug view (main.cpp:85)
+    max_frames: int = 1               # accumulation limit (hello_vulkan.h:157)
+    stop_at_max_frames: bool = False  # "Limit Max Frames" (hello_vulkan.h:156)
+    use_denoiser: bool = False        # finishes the reference's disabled NRD path
+    backend: str = "auto"             # trace backend: auto|bruteforce|bvh
+
+    def replace(self, **kw) -> "RenderSettings":
+        return dataclasses.replace(self, **kw)
+
+
+# ImGui default clear color (main.cpp:247).
+DEFAULT_CLEAR_COLOR: Tuple[float, float, float, float] = (1.0, 1.0, 1.0, 1.0)
+
+
+@dataclasses.dataclass(frozen=True)
+class EngineConfig:
+    """config.json schema (reference config.json:1-13)."""
+
+    scenes: List[str] = dataclasses.field(
+        default_factory=lambda: [
+            "media/scenes/Sponza.gltf",
+            "media/scenes/fireplace/fireplace.gltf",
+            "media/scenes/cornell.gltf",
+            "media/scenes/suntemple/suntemple.gltf",
+        ]
+    )
+    scene: int = 2
+    vsync: bool = False
+    width: int = 1280
+    height: int = 720
+
+    @property
+    def scene_path(self) -> str:
+        return self.scenes[self.scene]
+
+
+def load_config(path: str = "config.json") -> EngineConfig:
+    with open(path, "r") as f:
+        raw = json.load(f)
+    return EngineConfig(
+        scenes=list(raw.get("scenes", EngineConfig().scenes)),
+        scene=int(raw.get("scene", 2)),
+        vsync=bool(raw.get("vsync", False)),
+        width=int(raw.get("width", 1280)),
+        height=int(raw.get("height", 720)),
+    )
+
+
+def resolve_scene_path(cfg: EngineConfig, base_dirs=None) -> str:
+    """Find the configured scene file, searching repo-local then the
+    read-only reference media mount (assets are not copied into the repo)."""
+    rel = cfg.scene_path
+    if base_dirs is None:
+        base_dirs = [
+            os.getcwd(),
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "/root/reference",
+        ]
+    for base in base_dirs:
+        cand = os.path.join(base, rel)
+        if os.path.exists(cand):
+            return cand
+    return rel

@@ -1,0 +1,173 @@
+"""Engine: frame orchestration, progressive accumulation, invalidation.
+
+The ``HelloVulkan`` + ``main()`` frame-loop equivalent (main.cpp:441-630):
+owns the scene arrays, tracer, camera state, accumulation buffers and the
+frame counter, and exposes ``render_frame()``. Functional core / imperative
+shell: everything per-frame is a jitted pure function; this class only
+threads state and implements the reset rules:
+
+* ``update_frame``: bump the counter, reset when the camera matrix or fov
+  changed (hello_vulkan.cpp:1506-1521);
+* ``reset_frame``: frame = -1 (hello_vulkan.cpp:1501-1504), i.e. the next
+  update makes it 0;
+* any settings change resets accumulation (main.cpp:103-104, 463-464);
+* max-frames early-out: when limiting is on and frame >= maxFrames the
+  frame is not re-rendered (hello_vulkan.cpp:1426-1430).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from vkrt_tpu.config import DEFAULT_CLEAR_COLOR, RenderSettings
+from vkrt_tpu.models import post as post_mod
+from vkrt_tpu.models.hybrid import hybrid_frame
+from vkrt_tpu.models.pathtracer import pathtrace_frame
+from vkrt_tpu.ops.trace import make_tracer
+from vkrt_tpu.scene import SceneArrays
+from vkrt_tpu.utils.camera import Camera
+
+
+class Engine:
+    def __init__(
+        self,
+        scene: SceneArrays,
+        width: int,
+        height: int,
+        settings: RenderSettings = RenderSettings(),
+        camera: Camera = Camera(),
+        clear_color=DEFAULT_CLEAR_COLOR,
+    ):
+        self.scene = scene
+        self.width = width
+        self.height = height
+        self.settings = settings
+        self.camera = camera
+        self.clear_color = jnp.asarray(clear_color, jnp.float32)
+        self.tracer = make_tracer(scene, settings.backend)
+        self.frame = -1
+        self._ref_cam: Optional[Camera] = None
+        self.total_rays = 0.0
+        self._alloc_buffers()
+        self._build_jits()
+
+    # -- state management ---------------------------------------------------
+
+    def _alloc_buffers(self):
+        n = self.width * self.height
+        self.accum = jnp.zeros((n, 3), jnp.float32)          # path accum image
+        self.accum_rt = jnp.zeros((n, 4), jnp.float32)       # hybrid imageAccum
+        self.gbuffer = None                                   # hybrid G-buffer
+
+    def _build_jits(self):
+        s = self.settings
+        if s.rt_mode == 1:
+            self._step = jax.jit(
+                partial(
+                    pathtrace_frame,
+                    self.scene,
+                    self.tracer,
+                    width=self.width,
+                    height=self.height,
+                    samples=s.samples,
+                    depth=s.depth,
+                ),
+                static_argnames=(),
+            )
+        else:
+            self._step = jax.jit(
+                partial(
+                    hybrid_frame,
+                    self.scene,
+                    self.tracer,
+                    width=self.width,
+                    height=self.height,
+                    depth=s.depth,
+                    use_shadows=s.use_shadows,
+                    use_ao=s.use_ao,
+                    use_gi=s.use_gi,
+                    use_denoiser=s.use_denoiser,
+                )
+            )
+
+    def reset_frame(self):
+        """hello_vulkan.cpp:1501-1504."""
+        self.frame = -1
+
+    def update_frame(self):
+        """Reset accumulation on camera change (hello_vulkan.cpp:1506-1521)."""
+        if self._ref_cam != self.camera:
+            self.reset_frame()
+            self._ref_cam = self.camera
+        self.frame += 1
+
+    def update_settings(self, settings: RenderSettings):
+        if settings != self.settings:
+            needs_rejit = (
+                settings.samples != self.settings.samples
+                or settings.depth != self.settings.depth
+                or settings.rt_mode != self.settings.rt_mode
+                or settings.use_shadows != self.settings.use_shadows
+                or settings.use_ao != self.settings.use_ao
+                or settings.use_gi != self.settings.use_gi
+                or settings.use_denoiser != self.settings.use_denoiser
+                or settings.backend != self.settings.backend
+            )
+            if settings.backend != self.settings.backend:
+                self.tracer = make_tracer(self.scene, settings.backend)
+            self.settings = settings
+            if needs_rejit:
+                self._build_jits()
+            self.reset_frame()  # any UI change calls resetFrame (main.cpp:103)
+
+    def resize(self, width: int, height: int):
+        """onResize (hello_vulkan.cpp:620-626)."""
+        self.width, self.height = width, height
+        self.reset_frame()
+        self._alloc_buffers()
+        self._build_jits()
+
+    # -- rendering ----------------------------------------------------------
+
+    def render_frame(self):
+        """One main-loop iteration. Returns the linear composite (N,3)."""
+        self.update_frame()
+        s = self.settings
+        at_limit = s.stop_at_max_frames and self.frame >= s.max_frames
+        cam = self.camera.matrices(self.width, self.height)
+        if s.rt_mode == 1:
+            if not at_limit:  # early-out keeps the image (hello_vulkan.cpp:1426)
+                self.accum, rays = self._step(
+                    cam, self.frame, self.accum, self.clear_color
+                )
+                self.total_rays += float(rays)
+            return post_mod.composite(
+                None, jnp.concatenate(
+                    [self.accum, jnp.ones_like(self.accum[:, :1])], axis=1
+                ),
+                rt_mode=1, view_accumulated=s.view_accumulated, use_gi=s.use_gi,
+            )
+        if not at_limit:
+            self.gbuffer, self.accum_rt, rays = self._step(
+                cam, self.frame, self.accum_rt, self.clear_color
+            )
+            self.total_rays += float(rays)
+        return post_mod.composite(
+            self.gbuffer.color[:, :3],
+            self.accum_rt,
+            rt_mode=0,
+            view_accumulated=s.view_accumulated,
+            use_gi=s.use_gi,
+        )
+
+    def render(self, frames: int = 1) -> np.ndarray:
+        """Render ``frames`` progressive frames, return (H,W,3) uint8."""
+        out = None
+        for _ in range(frames):
+            out = self.render_frame()
+        return post_mod.to_u8_image(out, self.width, self.height)

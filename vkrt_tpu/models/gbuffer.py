@@ -1,0 +1,119 @@
+"""G-buffer pass: the raster pipeline replaced by primary-visibility rays.
+
+The reference rasterizes the scene into an 8-MRT G-buffer with direct PBR
+lighting from *all* lights (vert_shader.vert + frag_shader.frag:122-214).
+On TPU the idiomatic equivalent is a primary-ray pass through the same
+tracer producing the identical buffer contract:
+
+* color.rgb = emissive + sum_lights BRDF * Li * cosTheta (frag:188-214)
+* albedo = (1-metal)*baseColor smuggled through the alpha channels of
+  color/position/normal (frag:140-149)
+* position/normal: world space; rough+metal pair (frag:141-144)
+* NRD inputs: motion vector (0), oct-packed normal+roughness, viewZ,
+  diffRadianceHitDist placeholder (frag:135-138)
+* background: color = clear color (the attachment clear, main.cpp:483),
+  position = normal = 0 — the hybrid kernel's background test
+  (raytraceHybrid.rgen:67).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from vkrt_tpu.models.shading import surface_at_hit
+from vkrt_tpu.ops import brdf as brdf_ops
+from vkrt_tpu.ops.intersect import T_MAX, T_MIN
+from vkrt_tpu.ops.nrd import pack_normal_and_roughness
+from vkrt_tpu.utils.camera import generate_rays
+from vkrt_tpu.utils.smath import dot, length, normalize, transform_point
+
+
+class GBuffer(NamedTuple):
+    color: jnp.ndarray        # (N,4) direct light rgb + albedo.r
+    position: jnp.ndarray     # (N,4) world pos + albedo.g
+    normal: jnp.ndarray       # (N,4) shading normal + albedo.b
+    rough_metal: jnp.ndarray  # (N,2)
+    view_z: jnp.ndarray       # (N,)
+    norm_rough: jnp.ndarray   # (N,4) NRD packed
+    motion: jnp.ndarray       # (N,4) zeros (static camera MV, frag:135)
+
+
+def direct_lighting(scene, p, n, v, base_color, metallic, roughness):
+    """All-lights direct PBR sum (frag_shader.frag:193-213).
+
+    Directional lights use the reference's quirk: L = normalize(position)
+    and no distance attenuation.
+    """
+    n_lights = scene.num_lights
+    acc = jnp.zeros_like(p)
+    for i in range(n_lights):  # static unroll; L is small
+        lpos = scene.light_pos[i]
+        lcol = scene.light_color[i]
+        lint = scene.light_intensity[i]
+        ltype = scene.light_type[i]
+        ldir = lpos - p
+        dist = length(ldir, keepdims=True)
+        li_point = lcol * lint / jnp.maximum(dist * dist, 1e-20)
+        l_point = ldir / jnp.maximum(dist, 1e-20)
+        l_dir = jnp.broadcast_to(normalize(lpos), p.shape)
+        is_point = ltype == 0
+        l = jnp.where(is_point, l_point, l_dir)
+        li = jnp.where(is_point, li_point, lcol * lint)
+        h = normalize(l + v)
+        cos_t = jnp.maximum(dot(l, n), 0.0)
+        contrib = (
+            brdf_ops.compute_pbr_brdf(n, v, l, h, base_color, metallic, roughness)
+            * li
+            * cos_t[:, None]
+        )
+        acc = acc + jnp.where((cos_t > 0.0)[:, None], contrib, 0.0)
+    return acc
+
+
+def gbuffer_pass(scene, tracer, cam, width: int, height: int, clear_color) -> GBuffer:
+    """Primary rays at pixel centers -> G-buffer (replaces rasterizeGltf)."""
+    n = width * height
+    dt = scene.tri_v0.dtype
+    origin, direction = generate_rays(cam, width, height, jnp.full((n, 2), 0.5, dt))
+    hi = tracer.closest(origin, direction, T_MIN, T_MAX)
+    miss = ~hi.hit
+    tri = jnp.maximum(hi.tri, 0)
+    surf = surface_at_hit(scene, tri, hi.u, hi.v, direction)
+
+    v = normalize(-direction)
+    # frag shader uses raw factors; same clamps as ray path are NOT applied
+    direct = direct_lighting(
+        scene, surf.world_pos, surf.shading_normal, v,
+        surf.base_color, surf.metallic, surf.roughness,
+    )
+    color_rgb = surf.emissive + direct
+    albedo = (1.0 - surf.metallic)[:, None] * surf.base_color  # frag:140
+
+    clear3 = jnp.asarray(clear_color, dt)[:3]
+    m = miss[:, None]
+    color_rgb = jnp.where(m, clear3, color_rgb)
+    world_pos = jnp.where(m, 0.0, surf.world_pos)
+    nrm = jnp.where(m, 0.0, surf.shading_normal)
+    albedo = jnp.where(m, 0.0, albedo)
+
+    view_z = transform_point(cam.view, surf.world_pos)[:, 2]
+    view_z = jnp.where(miss, 0.0, view_z)
+    packed = pack_normal_and_roughness(
+        surf.shading_normal, surf.roughness, surf.mat_id.astype(dt)
+    )
+    packed = jnp.where(m, 0.0, packed)
+
+    return GBuffer(
+        color=jnp.concatenate([color_rgb, albedo[:, 0:1]], axis=1),
+        position=jnp.concatenate([world_pos, albedo[:, 1:2]], axis=1),
+        normal=jnp.concatenate([nrm, albedo[:, 2:3]], axis=1),
+        rough_metal=jnp.where(
+            m, 0.0, jnp.stack([surf.roughness, surf.metallic], axis=-1)
+        ),
+        view_z=view_z,
+        norm_rough=packed,
+        motion=jnp.zeros((n, 4), dt),
+    )

@@ -1,0 +1,182 @@
+"""Hybrid mode: G-buffer + ray-traced shadows / AO / 1-path GI.
+
+Port of ``shaders/raytraceHybrid.rgen:50-303`` over the G-buffer produced by
+:mod:`vkrt_tpu.models.gbuffer`. Per pixel:
+
+* shadows: one randomly chosen light, binary visibility with a 0.01 floor,
+  modulates alpha (hybrid rgen:81-131);
+* AO: 4 cosine-hemisphere rays, radius 2.0, modulates alpha (rgen:133-169);
+* GI: lobe pick by ``ratio = metalness*(1-roughness)`` vs 0.8 (rgen:184-202)
+  then the same bounce chain as the path tracer starting at depth 1
+  (rgen:211-266), weighted by albedo for the diffuse lobe;
+* NRD REBLUR packing of radiance + normalized hit distance (rgen:273-281);
+* accumulation into the RGBA accum image (rgen:36-48).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from vkrt_tpu.models.gbuffer import GBuffer, gbuffer_pass
+from vkrt_tpu.models.pathtracer import BounceCarry, accumulate, bounce_chain
+from vkrt_tpu.ops import nrd
+from vkrt_tpu.ops.intersect import T_MIN
+from vkrt_tpu.ops.rng import rnd, seed_pixels
+from vkrt_tpu.ops.sampling import create_coordinate_system, sampling_hemisphere
+from vkrt_tpu.utils.smath import dot, length, normalize, reflect
+
+AO_SAMPLES = 4        # raytraceHybrid.rgen:31
+RTAO_RADIUS = 2.0     # rgen:32
+SHADOW_T_MIN = 0.1    # rgen:104
+
+
+def hybrid_effects(
+    scene,
+    tracer,
+    gbuf: GBuffer,
+    cam,
+    seed,
+    frame,
+    accum_rt,
+    *,
+    depth: int,
+    use_shadows: bool,
+    use_ao: bool,
+    use_gi: bool,
+):
+    """The raytraceHybrid.rgen main() body. Returns (color4, diff_rad_hitd,
+    seed, rays)."""
+    n = gbuf.color.shape[0]
+    dt = gbuf.color.dtype
+    n_lights = scene.num_lights
+
+    world_pos = gbuf.position[:, :3]
+    world_nrm = gbuf.normal[:, :3]
+    albedo = jnp.stack(
+        [gbuf.color[:, 3], gbuf.position[:, 3], gbuf.normal[:, 3]], axis=-1
+    )
+    roughness = gbuf.rough_metal[:, 0]
+    metalness = gbuf.rough_metal[:, 1]
+    # background test (rgen:67): both pos and nrm exactly zero
+    shaded = ~(
+        jnp.all(world_pos == 0.0, axis=-1) & jnp.all(world_nrm == 0.0, axis=-1)
+    )
+
+    color_rgb = jnp.zeros((n, 3), dt)
+    color_a = jnp.ones((n,), dt)
+    rays = jnp.asarray(0.0, jnp.float32)
+
+    if use_shadows:  # rgen:81-131
+        seed, r = rnd(seed)
+        light_idx = jnp.clip((r * float(n_lights)).astype(jnp.int32), 0, n_lights - 1)
+        lpos = jnp.take(scene.light_pos, light_idx, axis=0)
+        ldir = lpos - world_pos
+        ldist = length(ldir)
+        l = ldir / jnp.maximum(ldist[:, None], 1e-20)
+        facing = dot(l, world_nrm) >= 0.0
+        do_trace = shaded & facing
+        blocked = tracer.any(
+            world_pos, l, SHADOW_T_MIN, jnp.maximum(ldist - SHADOW_T_MIN, SHADOW_T_MIN)
+        )
+        visibility = jnp.where(facing & ~(blocked & do_trace), 1.0, 0.0)
+        visibility = jnp.maximum(visibility, 0.01)  # rgen:129
+        color_a = jnp.where(shaded, color_a * visibility, color_a)
+        rays = rays + jnp.sum(do_trace.astype(jnp.float32))
+
+    if use_ao:  # rgen:133-169
+        tangent, binormal = create_coordinate_system(world_nrm)
+        ao = jnp.zeros((n,), dt)
+        for _ in range(AO_SAMPLES):
+            seed, d = sampling_hemisphere(seed, tangent, binormal, world_nrm)
+            d = normalize(d)
+            hit = tracer.any(world_pos, d, SHADOW_T_MIN, RTAO_RADIUS)
+            ao = ao + jnp.where(hit & shaded, 1.0 / AO_SAMPLES, 0.0)
+        color_a = jnp.where(shaded, color_a * (1.0 - ao), color_a)
+        rays = rays + AO_SAMPLES * jnp.sum(shaded.astype(jnp.float32))
+
+    diff_rad_hitd = jnp.zeros((n, 4), dt)
+    if use_gi:  # rgen:171-282
+        ratio = metalness * (1.0 - roughness)  # rgen:184 (not the path formula)
+        is_diffuse = ratio < 0.8
+        tangent, binormal = create_coordinate_system(world_nrm)
+        seed_d, hemi = sampling_hemisphere(seed, tangent, binormal, world_nrm)
+        dir_d = normalize(hemi)
+        eye = cam.view_inverse[:3, 3]
+        v = normalize(eye - world_pos)
+        dir_s = normalize(reflect(-v, world_nrm))
+        direction = jnp.where(is_diffuse[:, None], dir_d, dir_s)
+        seed = jnp.where(is_diffuse, seed_d, seed)
+        cur_weight = jnp.where(is_diffuse[:, None], albedo, jnp.ones((n, 3), dt))
+
+        carry = BounceCarry(
+            origin=world_pos,
+            direction=direction,
+            seed=seed,
+            cur_weight=cur_weight,
+            hit_value=jnp.zeros((n, 3), dt),
+            active=shaded,
+            is_specular=~is_diffuse,
+            light_dist=jnp.zeros((n,), dt),
+            hit_dists=jnp.zeros((n,), dt),
+            rays_main=rays,
+            rays_shadow=jnp.asarray(0.0, jnp.float32),
+        )
+        out = bounce_chain(
+            scene,
+            tracer,
+            carry,
+            depth=depth,
+            start_depth=1,
+            clear_color=jnp.zeros(4, dt),  # unused: d>0 misses get 0.01
+            hitdist_weight=1.0,
+            hitdist_accumulate=False,  # hybrid overwrites (rgen:257-263)
+        )
+        seed = out.seed
+        rays = out.rays_main + out.rays_shadow
+        gi = jnp.where(shaded[:, None], out.hit_value, 0.0)
+        color_rgb = gi  # rgen:271: color.rgb = indirectColor.rgb
+
+        nh = nrd.norm_hit_dist(out.hit_dists, gbuf.view_z, roughness)
+        diff_rad_hitd = nrd.pack_radiance_and_norm_hit_dist(gi, nh)
+
+    color = jnp.concatenate([color_rgb, color_a[:, None]], axis=-1)
+    # background pixels accumulate (0,0,0,1) (rgen:67-71)
+    color = jnp.where(shaded[:, None], color, jnp.asarray([0, 0, 0, 1], dt))
+    new_accum = accumulate(accum_rt, color, frame)
+    return new_accum, diff_rad_hitd, seed, rays
+
+
+def hybrid_frame(
+    scene,
+    tracer,
+    cam,
+    frame,
+    accum_rt,
+    clear_color,
+    *,
+    width: int,
+    height: int,
+    depth: int,
+    use_shadows: bool,
+    use_ao: bool,
+    use_gi: bool,
+    use_denoiser: bool,
+):
+    """Full hybrid frame: G-buffer pass + RT effects + accumulation
+    (main.cpp:506-561). Returns (gbuffer, new_accum, rays)."""
+    gbuf = gbuffer_pass(scene, tracer, cam, width, height, clear_color)
+    seed = seed_pixels(width, height, frame)
+    n = width * height
+    new_accum, diff_rad_hitd, _, rays = hybrid_effects(
+        scene, tracer, gbuf, cam, seed, frame, accum_rt,
+        depth=depth, use_shadows=use_shadows, use_ao=use_ao, use_gi=use_gi,
+    )
+    rays = rays + jnp.asarray(float(n), jnp.float32)  # primary G-buffer rays
+    if use_denoiser and use_gi:
+        from vkrt_tpu.models.denoiser import denoise_gi
+
+        filtered = denoise_gi(
+            diff_rad_hitd, gbuf.norm_rough, gbuf.view_z, width, height
+        )
+        new_accum = jnp.concatenate([filtered, new_accum[:, 3:4]], axis=-1)
+    return gbuf, new_accum, rays

@@ -1,0 +1,232 @@
+"""Progressive Monte-Carlo path tracer — the ``raytrace.rgen`` port.
+
+A frame is a pure function over ray batches: for every pixel, ``samples``
+paths of up to ``depth`` bounces with NEE shadow rays, the reference's exact
+estimator quirks preserved (SURVEY.md §7 item (e)):
+
+* contribution per bounce ``min(prd.hitValue * curWeight, 10)`` — the 10.0
+  firefly clamp (rgen:101) — *skipped entirely when the shadow ray is
+  blocked* (rgen:99-102), emission included;
+* miss radiance ``clearColor*0.8`` on primary, 0.01 ambient on secondary
+  (raytrace.rmiss:15-18), and a miss ends the path (depth=100);
+* shadow ray only for diffuse bounces, tMax ``lightDist - 0.1`` (rgen:79-97);
+* frame-0 subpixel jitter forced to pixel center (rgen:44) — the two RNG
+  draws still advance, like the GLSL;
+* progressive accumulation ``mix(old, new, 1/(frame+1))`` (rgen:136-145).
+
+The bounce loop is a ``lax.fori_loop`` with all lanes advancing in lockstep
+under masks — the SIMD restructuring of the reference's per-thread loop. The
+loop carries stale payload state (lightDist) across misses exactly like the
+GLSL payload does, because the rgen's depth==1 hit-distance bookkeeping reads
+it (rgen:103-114).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from vkrt_tpu.models.shading import sample_bsdf, surface_at_hit
+from vkrt_tpu.ops.intersect import T_MAX, T_MIN
+from vkrt_tpu.ops.rng import rnd, seed_pixels
+from vkrt_tpu.utils.camera import generate_rays
+
+
+class BounceCarry(NamedTuple):
+    origin: jnp.ndarray       # (N,3) prd.rayOrigin
+    direction: jnp.ndarray    # (N,3) prd.rayDirection
+    seed: jnp.ndarray         # (N,) uint32
+    cur_weight: jnp.ndarray   # (N,3) curWeight
+    hit_value: jnp.ndarray    # (N,3) accumulated hitValue
+    active: jnp.ndarray       # (N,) path still in the bounce loop
+    is_specular: jnp.ndarray  # (N,) prd.isSpecular (persists across miss)
+    light_dist: jnp.ndarray   # (N,) prd.lightDist (persists across miss)
+    hit_dists: jnp.ndarray    # (N,) denoiser hit-distance bookkeeping
+    rays_main: jnp.ndarray    # () f32 count of main rays traced
+    rays_shadow: jnp.ndarray  # () f32 count of shadow rays traced
+
+
+def bounce_chain(
+    scene,
+    tracer,
+    carry: BounceCarry,
+    *,
+    depth: int,
+    start_depth: int,
+    clear_color,
+    hitdist_weight: float,
+    hitdist_accumulate: bool,
+) -> BounceCarry:
+    """Run the shared bounce loop (rgen:62-116 / raytraceHybrid.rgen:211-266).
+
+    ``hitdist_accumulate``: path mode does ``hitDists += w*...`` (rgen:107),
+    hybrid GI overwrites ``hitDists = ...`` (hybrid rgen:257).
+    """
+    clear3 = jnp.asarray(clear_color, carry.origin.dtype)[:3]
+
+    def body(d, c: BounceCarry) -> BounceCarry:
+        hi = tracer.closest(c.origin, c.direction, T_MIN, T_MAX)
+        miss = ~hi.hit
+        tri = jnp.maximum(hi.tri, 0)
+
+        surf = surface_at_hit(scene, tri, hi.u, hi.v, c.direction)
+        emit_gate = (d == 0) | c.is_specular  # rchit:83
+        bs = sample_bsdf(scene, surf, c.direction, c.seed, emit_gate)
+
+        # rmiss (raytrace.rmiss:11-19)
+        miss_value = jnp.where(d == 0, clear3 * 0.8, jnp.full_like(clear3, 0.01))
+        hit_value_this = jnp.where(miss[:, None], miss_value, bs.emit_plus_nee)
+        is_spec_this = jnp.where(miss, c.is_specular, bs.is_specular)
+        light_dist_this = jnp.where(miss, c.light_dist, bs.light_dist)
+
+        # shadow ray (rgen:77-97): diffuse hits only
+        do_shadow = c.active & ~miss & ~is_spec_this
+        shadow_hit = tracer.any(
+            surf.world_pos,
+            bs.shadow_dir,
+            T_MIN,
+            jnp.maximum(light_dist_this - 0.1, T_MIN),
+        )
+        shadow_hit = shadow_hit & do_shadow
+
+        contrib = jnp.minimum(hit_value_this * c.cur_weight, 10.0)  # rgen:101
+        add = (c.active & ~shadow_hit)[:, None]
+        hit_value = c.hit_value + jnp.where(add, contrib, 0.0)
+
+        # hit-distance bookkeeping at depth 1 for diffuse (rgen:103-114)
+        at_d1 = (d == 1) & ~is_spec_this & c.active
+        hd_new = jnp.where(shadow_hit, 0.5 * light_dist_this, light_dist_this)
+        hd_new = hd_new * hitdist_weight
+        if hitdist_accumulate:
+            hit_dists = jnp.where(at_d1, c.hit_dists + hd_new, c.hit_dists)
+        else:
+            hit_dists = jnp.where(at_d1, hd_new, c.hit_dists)
+
+        cur_weight = c.cur_weight * jnp.where(miss[:, None], 1.0, bs.weight)
+        # (curWeight *= prd.weight also runs on miss lanes in the GLSL, but
+        # those lanes exit the loop and never contribute — skipping the stale
+        # multiply is contribution-equivalent and avoids 0*inf NaNs.)
+
+        return BounceCarry(
+            origin=jnp.where(miss[:, None], c.origin, surf.world_pos),
+            direction=jnp.where(miss[:, None], c.direction, bs.next_dir),
+            seed=jnp.where(miss, c.seed, bs.seed),
+            cur_weight=cur_weight,
+            hit_value=hit_value,
+            active=c.active & ~miss,
+            is_specular=is_spec_this,
+            light_dist=light_dist_this,
+            hit_dists=hit_dists,
+            rays_main=c.rays_main + jnp.sum(c.active.astype(jnp.float32)),
+            rays_shadow=c.rays_shadow + jnp.sum(do_shadow.astype(jnp.float32)),
+        )
+
+    return jax.lax.fori_loop(start_depth, depth, body, carry)
+
+
+class PathTraceResult(NamedTuple):
+    radiance: jnp.ndarray   # (N,3) prd.hitValue (mean over spp)
+    hit_dists: jnp.ndarray  # (N,) REBLUR hit-distance input
+    rays: jnp.ndarray       # () f32 total rays traced (main + shadow)
+
+
+def trace_pixels(
+    scene,
+    tracer,
+    cam,
+    width: int,
+    height: int,
+    frame,
+    clear_color,
+    *,
+    samples: int,
+    depth: int,
+) -> PathTraceResult:
+    """Full rgen main() over all pixels (rgen:24-121)."""
+    n = width * height
+    dt = scene.tri_v0.dtype
+    seed = seed_pixels(width, height, frame)
+
+    def sample_body(_, acc):
+        seed, hit_values, hit_dists, rays = acc
+        seed, r1 = rnd(seed)
+        seed, r2 = rnd(seed)
+        jitter = jnp.where(
+            jnp.asarray(frame) == 0,
+            jnp.full((n, 2), 0.5, dt),
+            jnp.stack([r1, r2], axis=-1),
+        )
+        origin, direction = generate_rays(cam, width, height, jitter)
+        carry = BounceCarry(
+            origin=origin,
+            direction=direction,
+            seed=seed,
+            cur_weight=jnp.ones((n, 3), dt),
+            hit_value=jnp.zeros((n, 3), dt),
+            active=jnp.ones((n,), bool),
+            is_specular=jnp.zeros((n,), bool),
+            light_dist=jnp.zeros((n,), dt),
+            hit_dists=hit_dists,
+            rays_main=rays,
+            rays_shadow=jnp.asarray(0.0, jnp.float32),
+        )
+        out = bounce_chain(
+            scene,
+            tracer,
+            carry,
+            depth=depth,
+            start_depth=0,
+            clear_color=clear_color,
+            hitdist_weight=1.0 / samples,
+            hitdist_accumulate=True,
+        )
+        return (
+            out.seed,
+            hit_values + out.hit_value,
+            out.hit_dists,
+            out.rays_main + out.rays_shadow,
+        )
+
+    init = (
+        seed,
+        jnp.zeros((n, 3), dt),
+        jnp.zeros((n,), dt),
+        jnp.asarray(0.0, jnp.float32),
+    )
+    _, hit_values, hit_dists, rays = jax.lax.fori_loop(0, samples, sample_body, init)
+    return PathTraceResult(
+        radiance=hit_values / samples, hit_dists=hit_dists, rays=rays
+    )
+
+
+def accumulate(accum, new, frame):
+    """Progressive accumulation mix(old, new, 1/(frame+1)) (rgen:136-145)."""
+    a = 1.0 / (jnp.asarray(frame, new.dtype) + 1.0)
+    blended = accum * (1.0 - a) + new * a
+    return jnp.where(jnp.asarray(frame) > 0, blended, new)
+
+
+def pathtrace_frame(
+    scene,
+    tracer,
+    cam,
+    frame,
+    accum,
+    clear_color,
+    *,
+    width: int,
+    height: int,
+    samples: int,
+    depth: int,
+):
+    """One path-traced frame + accumulation (hello_vulkan.cpp:1423-1448).
+
+    ``accum``: (H*W, 3) running image. Returns (new_accum, rays).
+    """
+    res = trace_pixels(
+        scene, tracer, cam, width, height, frame, clear_color,
+        samples=samples, depth=depth,
+    )
+    return accumulate(accum, res.radiance, frame), res.rays

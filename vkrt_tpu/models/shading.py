@@ -1,0 +1,197 @@
+"""Hit shading + BSDF sampling — the closest-hit stage as batched JAX.
+
+This is the TPU port of ``shaders/raytrace.rchit`` (shared by both RT
+pipelines in the reference, hello_vulkan.cpp:1285): attribute interpolation,
+TBN/normal mapping, material/texture evaluation, NEE direct light, and lobe
+selection (diffuse with probability ``0.5*(1-metalness)``, else GGX
+specular). Where GLSL branches per-thread, we evaluate both lobes on the VPU
+and select — including the *per-branch RNG streams*: each GLSL branch draws a
+different number of LCG samples, so both candidate streams are advanced and
+the surviving lane's state is selected, keeping per-lane sequences identical
+to the reference's divergent execution.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from vkrt_tpu.ops import brdf as brdf_ops
+from vkrt_tpu.ops.rng import rnd
+from vkrt_tpu.ops.sampling import (
+    M_INV_PI,
+    create_coordinate_system,
+    local_to_world,
+    sampling_hemisphere,
+    sampling_ndf_ggxtr,
+)
+from vkrt_tpu.ops.texture import sample_texture
+from vkrt_tpu.utils.smath import cross, dot, length, normalize, reflect
+
+
+class SurfaceSample(NamedTuple):
+    """Everything the rchit stage writes back through the payload + what the
+    G-buffer pass needs (raycommon.glsl:8-19, frag_shader.frag:122-149)."""
+
+    world_pos: jnp.ndarray     # (N,3)
+    shading_normal: jnp.ndarray  # (N,3) texNormal
+    geo_normal: jnp.ndarray    # (N,3) interpolated worldNrm
+    base_color: jnp.ndarray    # (N,3)
+    metallic: jnp.ndarray      # (N,) raw (unclamped)
+    roughness: jnp.ndarray     # (N,) raw (unclamped)
+    emissive: jnp.ndarray      # (N,3) emissiveFactor * texture
+    tangent: jnp.ndarray       # (N,3) final frame tangent
+    binormal: jnp.ndarray      # (N,3)
+    uv: jnp.ndarray            # (N,2)
+    mat_id: jnp.ndarray        # (N,) int32
+
+
+def surface_at_hit(scene, tri, u, v, ray_dir) -> SurfaceSample:
+    """Interpolate attributes + evaluate material at hit (rchit:31-113).
+
+    ``tri`` must be pre-clamped >= 0 (callers mask miss lanes).
+    """
+    w = 1.0 - u - v
+    bary = jnp.stack([w, u, v], axis=-1)[..., None]  # (N,3,1)
+
+    cn = jnp.take(scene.corner_normal, tri, axis=0)    # (N,3,3)
+    ctg = jnp.take(scene.corner_tangent, tri, axis=0)  # (N,3,4)
+    cuv = jnp.take(scene.corner_uv, tri, axis=0)       # (N,3,2)
+    v0 = jnp.take(scene.tri_v0, tri, axis=0)
+    e1 = jnp.take(scene.tri_e1, tri, axis=0)
+    e2 = jnp.take(scene.tri_e2, tri, axis=0)
+
+    world_pos = v0 + u[:, None] * e1 + v[:, None] * e2
+    world_nrm = normalize(jnp.sum(cn * bary, axis=1))
+    world_tag = normalize(jnp.sum(ctg[..., :3] * bary, axis=1))
+    # Gram-Schmidt + handedness from corner 0's tangent.w (rchit:77-78)
+    world_tag = normalize(world_tag - dot(world_tag, world_nrm, keepdims=True) * world_nrm)
+    world_bin = ctg[:, 0, 3:4] * cross(world_nrm, world_tag)
+    uv = jnp.sum(cuv * bary, axis=1)
+
+    mat_id = jnp.take(scene.tri_mat, tri)
+    base_factor = jnp.take(scene.mat_base_color, mat_id, axis=0)[:, :3]
+    base_tex = jnp.take(scene.mat_base_tex, mat_id)
+    metal_f = jnp.take(scene.mat_metallic, mat_id)
+    rough_f = jnp.take(scene.mat_roughness, mat_id)
+    mr_tex = jnp.take(scene.mat_mr_tex, mat_id)
+    normal_tex = jnp.take(scene.mat_normal_tex, mat_id)
+    emis_f = jnp.take(scene.mat_emissive, mat_id, axis=0)
+    emis_tex = jnp.take(scene.mat_emissive_tex, mat_id)
+
+    base_color = base_factor * sample_texture(scene.tex_rgba, scene.tex_size, base_tex, uv)[:, :3]
+    mr = sample_texture(scene.tex_rgba, scene.tex_size, mr_tex, uv)
+    # roughness in G, metalness in B (gltf.glsl:40-44); no-texture => 1
+    roughness = rough_f * mr[:, 1]
+    metallic = metal_f * mr[:, 2]
+    emissive = emis_f * sample_texture(scene.tex_rgba, scene.tex_size, emis_tex, uv)[:, :3]
+
+    # Normal mapping (rchit:93-106): TBN = (worldTag, worldBin, worldNrm);
+    # when a normal texture exists the frame is rebuilt around texNormal.
+    tex_n_rgb = sample_texture(scene.tex_rgba, scene.tex_size, normal_tex, uv)[:, :3]
+    mapped = normalize(tex_n_rgb * 2.0 - 1.0)
+    mapped_world = normalize(local_to_world(mapped, world_tag, world_bin, world_nrm))
+    has_nmap = (normal_tex >= 0)[:, None]
+    shading_normal = jnp.where(has_nmap, mapped_world, world_nrm)
+    nt, nb = create_coordinate_system(shading_normal)
+    tangent = jnp.where(has_nmap, nt, world_tag)
+    binormal = jnp.where(has_nmap, nb, world_bin)
+
+    del ray_dir  # ffnormal is computed but unused in the reference (rchit:98)
+    return SurfaceSample(
+        world_pos=world_pos,
+        shading_normal=shading_normal,
+        geo_normal=world_nrm,
+        base_color=base_color,
+        metallic=metallic,
+        roughness=roughness,
+        emissive=emissive,
+        tangent=tangent,
+        binormal=binormal,
+        uv=uv,
+        mat_id=mat_id,
+    )
+
+
+class BsdfSample(NamedTuple):
+    """Payload writes of the rchit stage (rchit:215-218) + NEE bookkeeping."""
+
+    next_dir: jnp.ndarray      # (N,3)
+    weight: jnp.ndarray        # (N,3) BRDF*cos/pdf
+    emit_plus_nee: jnp.ndarray  # (N,3) prd.hitValue
+    is_specular: jnp.ndarray   # (N,) bool
+    shadow_dir: jnp.ndarray    # (N,3) L toward sampled light
+    light_dist: jnp.ndarray    # (N,)
+    seed: jnp.ndarray          # (N,) uint32
+
+
+def sample_bsdf(scene, surf: SurfaceSample, ray_dir, seed, emit_gate) -> BsdfSample:
+    """Lobe selection + sampling (rchit:118-218). ``emit_gate`` (N,) bool is
+    the ``prd.depth == 0 || prd.isSpecular`` emissive gate (rchit:83-88)."""
+    n_lights = scene.num_lights
+    v = normalize(-ray_dir)
+    nrm = surf.shading_normal
+
+    emittance = jnp.where(emit_gate[:, None], surf.emissive, 0.0)
+
+    # ratio uses *unclamped* metalness (rchit:127), clamps follow (128-129)
+    ratio = 0.5 * (1.0 - surf.metallic)
+    rough_c = jnp.clip(surf.roughness, 0.01, 0.99)
+    metal_c = jnp.clip(surf.metallic, 0.01, 0.99)
+
+    seed, r1 = rnd(seed)
+    is_diffuse = r1 < ratio
+
+    # ---- diffuse branch (3 further draws: light pick + 2 hemisphere) ----
+    seed_d, r_light = rnd(seed)
+    light_idx = jnp.clip(
+        (r_light * float(n_lights)).astype(jnp.int32), 0, n_lights - 1
+    )
+    lpos = jnp.take(scene.light_pos, light_idx, axis=0)
+    lcol = jnp.take(scene.light_color, light_idx, axis=0)
+    lint = jnp.take(scene.light_intensity, light_idx)
+    ltype = jnp.take(scene.light_type, light_idx)
+    ldir = lpos - surf.world_pos
+    light_dist = length(ldir)
+    l_nee = ldir / jnp.maximum(light_dist[:, None], 1e-20)
+
+    brdf_nee, li, cos_nee = brdf_ops.direct_light(
+        lpos, lcol, lint, ltype,
+        surf.world_pos, nrm, v, surf.base_color, metal_c, rough_c,
+    )
+    # "if dot(L, texNormal) <= 0: += 0" (rchit:166-174); lightsCount scaling
+    nee = jnp.where(
+        (dot(l_nee, nrm) > 0.0)[:, None],
+        float(n_lights) * brdf_nee * li * cos_nee[:, None],
+        0.0,
+    )
+    seed_d, hemi = sampling_hemisphere(seed_d, surf.tangent, surf.binormal, nrm)
+    dir_d = normalize(hemi)
+    # weight = BRDF*cos/pdf with BRDF=(1-metal)*baseColor/pi and
+    # pdf=ratio*cos/pi (rchit:176-183): the cosines cancel exactly.
+    pdf_d = ratio * dot(dir_d, nrm) * M_INV_PI
+    brdf_d = (1.0 - metal_c)[:, None] * surf.base_color * M_INV_PI
+    weight_d = brdf_d * (dot(dir_d, nrm) / jnp.maximum(pdf_d, 1e-12))[:, None]
+
+    # ---- specular branch (2 further draws: GGX) ----
+    alpha = rough_c * rough_c
+    seed_s, h_local = sampling_ndf_ggxtr(seed, alpha * alpha)
+    h = normalize(local_to_world(h_local, surf.tangent, surf.binormal, nrm))
+    dir_s = normalize(reflect(-v, h))
+    f0 = 0.04 * (1.0 - metal_c[:, None]) + surf.base_color * metal_c[:, None]
+    brdf_over_pdf = brdf_ops.specular_brdf_over_pdf_cook_torrance(
+        nrm, h, v, dir_s, f0, rough_c, ratio
+    )
+    weight_s = brdf_over_pdf * dot(dir_s, nrm)[:, None]  # cosTheta (rchit:207)
+
+    sel = is_diffuse[:, None]
+    return BsdfSample(
+        next_dir=jnp.where(sel, dir_d, dir_s),
+        weight=jnp.where(sel, weight_d, weight_s),
+        emit_plus_nee=emittance + jnp.where(sel, nee, 0.0),
+        is_specular=~is_diffuse,
+        shadow_dir=l_nee,
+        light_dist=light_dist,
+        seed=jnp.where(is_diffuse, seed_d, seed_s),
+    )

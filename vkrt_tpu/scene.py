@@ -1,0 +1,447 @@
+"""Scene representation: flat SoA device arrays.
+
+The TPU-native analog of the reference's device scene — where Vulkan binds a
+``SceneDesc`` table of 8 buffer device addresses (host_device.h:107-117,
+hello_vulkan.cpp:363-379) plus descriptor-set texture arrays, we carry one
+pytree of jnp arrays through every jitted render function. World transforms
+are baked into the triangle soup at load time (the single-level-BVH-with-
+instances-flattened design from SURVEY.md §7.2): per-ray work then needs no
+per-instance matrix fetch, and per-corner shading attributes are laid out by
+triangle so a hit shades with exactly one gather by triangle id.
+
+Per-triangle corner attributes replace the reference's vertex-index
+indirection (raytrace.rchit:49-66): slightly more HBM, one less gather per
+hit, and a layout XLA vectorizes cleanly.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List, NamedTuple, Optional
+
+import numpy as np
+import jax.numpy as jnp
+
+from vkrt_tpu.utils import gltf as gltf_mod
+
+TRI_PAD = 64  # pad triangle count to a lane-friendly multiple
+
+
+class SceneArrays(NamedTuple):
+    """Flat scene. T triangles (padded), M materials, L lights, K textures."""
+
+    # geometry (world space, Möller-Trumbore precomputed)
+    tri_v0: jnp.ndarray        # (T,3) f32
+    tri_e1: jnp.ndarray        # (T,3)
+    tri_e2: jnp.ndarray        # (T,3)
+    # per-corner shading attributes
+    corner_normal: jnp.ndarray   # (T,3,3)
+    corner_tangent: jnp.ndarray  # (T,3,4)  xyz + handedness w
+    corner_uv: jnp.ndarray       # (T,3,2)
+    tri_mat: jnp.ndarray         # (T,) i32
+    # materials SoA — GltfPBRMaterial (host_device.h:119-129)
+    mat_base_color: jnp.ndarray    # (M,4)
+    mat_base_tex: jnp.ndarray      # (M,) i32  (-1 = none)
+    mat_metallic: jnp.ndarray      # (M,)
+    mat_roughness: jnp.ndarray     # (M,)
+    mat_mr_tex: jnp.ndarray        # (M,) i32
+    mat_normal_tex: jnp.ndarray    # (M,) i32
+    mat_emissive: jnp.ndarray      # (M,3)
+    mat_emissive_tex: jnp.ndarray  # (M,) i32
+    # lights SoA — GltfLight (host_device.h:131-137)
+    light_pos: jnp.ndarray        # (L,3)
+    light_color: jnp.ndarray      # (L,3)
+    light_intensity: jnp.ndarray  # (L,)
+    light_type: jnp.ndarray       # (L,) i32
+    # textures: stacked, padded to common (TH,TW); linear color space
+    tex_rgba: jnp.ndarray  # (K,TH,TW,4) f32
+    tex_size: jnp.ndarray  # (K,2) i32  (w,h)
+
+    @property
+    def num_tris(self) -> int:
+        return self.tri_v0.shape[0]
+
+    @property
+    def num_lights(self) -> int:
+        return self.light_pos.shape[0]
+
+
+# The hardcoded fallback point-light rig used when a scene ships no
+# KHR_lights_punctual lights (hello_vulkan.cpp:247-321, Sponza-tuned).
+FALLBACK_LIGHTS = [
+    ((1.0, 5.0, -1.33), (1.0, 1.0, 1.0), 50.0, 0),
+    ((0.0, 3.0, 67.0), (1.0, 0.01, 0.1), 50.0, 0),
+    ((-1.3, 7.62, 59.0), (1.0, 1.0, 1.0), 50.0, 0),
+    ((2.4, 2.05, 40.6), (1.0, 1.0, 1.0), 50.0, 0),
+    ((-0.33, 6.85, 30.0), (1.0, 1.0, 1.0), 50.0, 0),
+    ((-6.2, 9.6, 20.18), (1.0, 1.0, 1.0), 50.0, 0),
+    ((-0.23, 6.93, 12.21), (1.0, 1.0, 0.0), 50.0, 0),
+    ((0.24, 3.03, 49.94), (0.0, 0.0, 1.0), 50.0, 0),
+]
+
+
+def srgb_to_linear(c: np.ndarray) -> np.ndarray:
+    """Piecewise sRGB EOTF (what R8G8B8A8_SRGB sampling does in hardware)."""
+    c = np.asarray(c, np.float32)
+    return np.where(c <= 0.04045, c / 12.92, ((c + 0.055) / 1.055) ** 2.4).astype(
+        np.float32
+    )
+
+
+def _flat_normals(v0, v1, v2):
+    n = np.cross(v1 - v0, v2 - v0)
+    ln = np.linalg.norm(n, axis=-1, keepdims=True)
+    return n / np.maximum(ln, 1e-20)
+
+
+def _compute_tangents(positions, normals, uvs, indices):
+    """Per-vertex tangents from UV gradients (the nvh::GltfScene fallback for
+    meshes without TANGENT attributes — cornell.gltf has none). Returns (V,4)."""
+    v = positions
+    t_accum = np.zeros_like(v)
+    i0, i1, i2 = indices[0::3], indices[1::3], indices[2::3]
+    e1 = v[i1] - v[i0]
+    e2 = v[i2] - v[i0]
+    duv1 = uvs[i1] - uvs[i0]
+    duv2 = uvs[i2] - uvs[i0]
+    det = duv1[:, 0] * duv2[:, 1] - duv2[:, 0] * duv1[:, 1]
+    r = np.where(np.abs(det) > 1e-12, 1.0 / np.where(det == 0, 1, det), 0.0)[:, None]
+    tan = (e1 * duv2[:, 1:2] - e2 * duv1[:, 1:2]) * r
+    for idx in (i0, i1, i2):
+        np.add.at(t_accum, idx, tan)
+    # Gram-Schmidt per vertex, with an ONB fallback for degenerate tangents
+    n = normals
+    t = t_accum - n * np.sum(t_accum * n, axis=-1, keepdims=True)
+    ln = np.linalg.norm(t, axis=-1, keepdims=True)
+    bad = ln[:, 0] < 1e-8
+    if bad.any():
+        # createCoordinateSystem-style fallback (shaders/random.glsl:47-54)
+        nb = n[bad]
+        alt = np.where(
+            (np.abs(nb[:, 0:1]) > np.abs(nb[:, 1:2])),
+            np.stack([nb[:, 2], np.zeros(len(nb)), -nb[:, 0]], -1),
+            np.stack([np.zeros(len(nb)), -nb[:, 2], nb[:, 1]], -1),
+        )
+        t[bad] = alt
+        ln = np.linalg.norm(t, axis=-1, keepdims=True)
+    t = t / np.maximum(ln, 1e-20)
+    return np.concatenate([t, np.ones((len(v), 1), np.float32)], axis=-1)
+
+
+def build_scene(
+    doc: gltf_mod.GltfDocument,
+    pad_to: int = TRI_PAD,
+    dtype=jnp.float32,
+) -> SceneArrays:
+    """Flatten a parsed glTF document into SceneArrays (bake world xforms)."""
+    all_v0, all_v1, all_v2 = [], [], []
+    all_n, all_tg, all_uv, all_mat = [], [], [], []
+
+    for prim in doc.primitives:
+        m = prim.world_matrix.astype(np.float64)
+        inv = np.linalg.inv(m)
+        pos = prim.positions @ m[:3, :3].T + m[:3, 3]
+        idx = prim.indices.astype(np.int64)
+        tri = idx.reshape(-1, 3)
+        v0, v1, v2 = pos[tri[:, 0]], pos[tri[:, 1]], pos[tri[:, 2]]
+
+        if prim.normals is not None:
+            # normal transform: n * W2O == (M^-1)^T n (raytrace.rchit:74)
+            nrm = prim.normals @ inv[:3, :3]
+            ln = np.linalg.norm(nrm, axis=-1, keepdims=True)
+            nrm = nrm / np.maximum(ln, 1e-20)
+            cn = np.stack([nrm[tri[:, 0]], nrm[tri[:, 1]], nrm[tri[:, 2]]], axis=1)
+        else:
+            fn = _flat_normals(v0, v1, v2)
+            cn = np.repeat(fn[:, None, :], 3, axis=1)
+
+        uv = prim.uvs if prim.uvs is not None else np.zeros((len(pos), 2), np.float32)
+        cuv = np.stack([uv[tri[:, 0]], uv[tri[:, 1]], uv[tri[:, 2]]], axis=1)
+
+        if prim.tangents is not None:
+            tg_xyz = prim.tangents[:, :3] @ inv[:3, :3]  # like normals (rchit:76)
+            ln = np.linalg.norm(tg_xyz, axis=-1, keepdims=True)
+            tg_xyz = tg_xyz / np.maximum(ln, 1e-20)
+            tg = np.concatenate([tg_xyz, prim.tangents[:, 3:4]], axis=-1)
+        else:
+            vertex_n = (
+                prim.normals @ inv[:3, :3]
+                if prim.normals is not None
+                else np.zeros((len(pos), 3), np.float32)
+            )
+            ln = np.linalg.norm(vertex_n, axis=-1, keepdims=True)
+            vertex_n = np.where(ln > 1e-12, vertex_n / np.maximum(ln, 1e-20), [0, 0, 1.0])
+            tg = _compute_tangents(pos.astype(np.float32), vertex_n.astype(np.float32), uv, idx)
+        ctg = np.stack([tg[tri[:, 0]], tg[tri[:, 1]], tg[tri[:, 2]]], axis=1)
+
+        # materialIndex clamped with max(0, idx) as in raytrace.rchit:38
+        mat_id = max(0, prim.material)
+        all_v0.append(v0)
+        all_v1.append(v1)
+        all_v2.append(v2)
+        all_n.append(cn)
+        all_tg.append(ctg)
+        all_uv.append(cuv)
+        all_mat.append(np.full(len(tri), mat_id, np.int32))
+
+    v0 = np.concatenate(all_v0).astype(np.float32)
+    v1 = np.concatenate(all_v1).astype(np.float32)
+    v2 = np.concatenate(all_v2).astype(np.float32)
+    cn = np.concatenate(all_n).astype(np.float32)
+    ctg = np.concatenate(all_tg).astype(np.float32)
+    cuv = np.concatenate(all_uv).astype(np.float32)
+    mat = np.concatenate(all_mat)
+
+    n_tri = len(v0)
+    n_pad = (-n_tri) % pad_to
+    if n_pad:
+        z3 = np.zeros((n_pad, 3), np.float32)
+        v0, v1, v2 = (np.concatenate([a, z3]) for a in (v0, v1, v2))
+        cn = np.concatenate([cn, np.zeros((n_pad, 3, 3), np.float32)])
+        ctg = np.concatenate([ctg, np.zeros((n_pad, 3, 4), np.float32)])
+        cuv = np.concatenate([cuv, np.zeros((n_pad, 3, 2), np.float32)])
+        mat = np.concatenate([mat, np.zeros(n_pad, np.int32)])
+
+    mats = doc.materials
+    lights = doc.lights
+    if not lights:
+        lights = [
+            gltf_mod.GltfLight(np.asarray(p, np.float32), np.asarray(c, np.float32), i, t)
+            for (p, c, i, t) in FALLBACK_LIGHTS
+        ]
+
+    # texture atlas: decode to linear float, pad to common size
+    srgb_images = set()
+    for mt in mats:  # getImageFormat: baseColor/emissive sources are sRGB
+        if mt.base_color_texture >= 0:
+            srgb_images.add(mt.base_color_texture)
+        if mt.emissive_texture >= 0:
+            srgb_images.add(mt.emissive_texture)
+    images = [im.data for im in doc.images]
+    if not images:
+        images = [np.full((1, 1, 4), 255, np.uint8)]  # dummy white (hello_vulkan.cpp:458-466)
+    th = max(im.shape[0] for im in images)
+    tw = max(im.shape[1] for im in images)
+    tex = np.zeros((len(images), th, tw, 4), np.float32)
+    tex_size = np.zeros((len(images), 2), np.int32)
+    for k, im in enumerate(images):
+        f = im.astype(np.float32) / 255.0
+        if k in srgb_images:
+            f = np.concatenate([srgb_to_linear(f[..., :3]), f[..., 3:]], axis=-1)
+        tex[k, : im.shape[0], : im.shape[1]] = f
+        tex_size[k] = (im.shape[1], im.shape[0])
+
+    return SceneArrays(
+        tri_v0=jnp.asarray(v0, dtype),
+        tri_e1=jnp.asarray(v1 - v0, dtype),
+        tri_e2=jnp.asarray(v2 - v0, dtype),
+        corner_normal=jnp.asarray(cn, dtype),
+        corner_tangent=jnp.asarray(ctg, dtype),
+        corner_uv=jnp.asarray(cuv, dtype),
+        tri_mat=jnp.asarray(mat, jnp.int32),
+        mat_base_color=jnp.asarray(
+            np.stack([m.base_color_factor for m in mats]), dtype
+        ),
+        mat_base_tex=jnp.asarray([m.base_color_texture for m in mats], jnp.int32),
+        mat_metallic=jnp.asarray([m.metallic_factor for m in mats], dtype),
+        mat_roughness=jnp.asarray([m.roughness_factor for m in mats], dtype),
+        mat_mr_tex=jnp.asarray(
+            [m.metallic_roughness_texture for m in mats], jnp.int32
+        ),
+        mat_normal_tex=jnp.asarray([m.normal_texture for m in mats], jnp.int32),
+        mat_emissive=jnp.asarray(np.stack([m.emissive_factor for m in mats]), dtype),
+        mat_emissive_tex=jnp.asarray([m.emissive_texture for m in mats], jnp.int32),
+        light_pos=jnp.asarray(np.stack([l.position for l in lights]), dtype),
+        light_color=jnp.asarray(np.stack([l.color for l in lights]), dtype),
+        light_intensity=jnp.asarray([l.intensity for l in lights], dtype),
+        light_type=jnp.asarray([l.type for l in lights], jnp.int32),
+        tex_rgba=jnp.asarray(tex, dtype),
+        tex_size=jnp.asarray(tex_size, jnp.int32),
+    )
+
+
+def load_scene(path: str) -> SceneArrays:
+    """GLTF file -> SceneArrays (loadGltfScene equivalent)."""
+    return build_scene(gltf_mod.parse_gltf(path))
+
+
+# ---------------------------------------------------------------------------
+# Procedural scenes (the bench/test substitutes for assets the reference
+# config lists but does not ship: Sponza, fireplace, suntemple).
+# ---------------------------------------------------------------------------
+
+
+def _quad(a, b, c, d):
+    """Two triangles for quad a-b-c-d (counter-clockwise)."""
+    return [(a, b, c), (a, c, d)]
+
+
+def _box(center, half, rot_y: float = 0.0):
+    cx, cy, cz = center
+    hx, hy, hz = half
+    corners = np.array(
+        [
+            [-hx, -hy, -hz], [hx, -hy, -hz], [hx, hy, -hz], [-hx, hy, -hz],
+            [-hx, -hy, hz], [hx, -hy, hz], [hx, hy, hz], [-hx, hy, hz],
+        ]
+    )
+    if rot_y:
+        c, s = np.cos(rot_y), np.sin(rot_y)
+        r = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]])
+        corners = corners @ r.T
+    corners = corners + np.array([cx, cy, cz])
+    p = corners
+    tris = []
+    tris += _quad(p[4], p[5], p[6], p[7])  # +z
+    tris += _quad(p[1], p[0], p[3], p[2])  # -z
+    tris += _quad(p[5], p[1], p[2], p[6])  # +x
+    tris += _quad(p[0], p[4], p[7], p[3])  # -x
+    tris += _quad(p[7], p[6], p[2], p[3])  # +y
+    tris += _quad(p[0], p[1], p[5], p[4])  # -y
+    return tris
+
+
+def scene_from_soup(
+    tris: List,
+    mat_ids: List[int],
+    materials: List[gltf_mod.GltfMaterial],
+    lights: List[gltf_mod.GltfLight],
+) -> SceneArrays:
+    """Assemble SceneArrays from python triangle lists (flat normals)."""
+    arr = np.asarray(tris, np.float32)  # (T,3,3)
+    doc = gltf_mod.GltfDocument(
+        primitives=[
+            gltf_mod.GltfPrimitiveInstance(
+                positions=arr.reshape(-1, 3),
+                indices=np.arange(arr.size // 3, dtype=np.uint32),
+                normals=None,
+                tangents=None,
+                uvs=None,
+                material=0,
+                world_matrix=np.eye(4),
+            )
+        ],
+        materials=materials,
+        lights=lights,
+        images=[],
+    )
+    built = build_scene(doc)
+    mat = np.zeros(built.tri_mat.shape[0], np.int32)
+    mat[: len(mat_ids)] = mat_ids
+    return built._replace(tri_mat=jnp.asarray(mat))
+
+
+def make_cornell_box() -> SceneArrays:
+    """Procedural Cornell-style box: used when the reference's
+    media/scenes/cornell.gltf is not reachable. Dimensions mirror the real
+    asset (10-unit box, light at y=4.5, camera at z=15 looking in)."""
+    mats = [
+        gltf_mod.GltfMaterial(np.array([0.73, 0.73, 0.73, 1], np.float32), metallic_factor=0.0),
+        gltf_mod.GltfMaterial(np.array([1.0, 0.0, 0.0, 1], np.float32), metallic_factor=0.0),
+        gltf_mod.GltfMaterial(np.array([0.05, 1.0, 0.0, 1], np.float32), metallic_factor=0.0),
+        gltf_mod.GltfMaterial(
+            np.array([1.0, 1.0, 1.0, 1], np.float32),
+            metallic_factor=0.0,
+            roughness_factor=0.0,
+            emissive_factor=np.array([10.0, 10.0, 10.0], np.float32),
+        ),
+        gltf_mod.GltfMaterial(np.array([0.5, 0.5, 0.5, 1], np.float32)),
+    ]
+    tris, mat_ids = [], []
+
+    def add(ts, mid):
+        tris.extend(ts)
+        mat_ids.extend([mid] * len(ts))
+
+    add(_box((0, 0, -5.5), (5, 5, 0.5)), 0)        # back wall
+    add(_box((0, -5.5, 0), (5, 0.5, 5)), 0)        # floor
+    add(_box((0, 5.5, 0), (5, 0.5, 5)), 0)         # ceiling
+    add(_box((-5.5, 0, 0), (0.5, 5, 5)), 1)        # left (red)
+    add(_box((5.5, 0, 0), (0.5, 5, 5)), 2)         # right (green)
+    add(_box((0, 4.7, 0), (1.5, 0.1, 1.5)), 3)     # area light panel
+    add(_box((1.8, -3.2, 1.2), (1.2, 1.8, 1.2), 0.5), 4)   # tall box
+    add(_box((-2.0, -4.0, -1.5), (1.0, 1.0, 1.0), -0.3), 4)  # small box
+    lights = [
+        gltf_mod.GltfLight(
+            np.array([0.0, 4.5, 0.0], np.float32),
+            np.array([1.0, 1.0, 1.0], np.float32),
+            100.0,
+            0,
+        )
+    ]
+    return scene_from_soup(tris, mat_ids, mats, lights)
+
+
+def make_random_soup(n_tris: int, seed: int = 0, extent: float = 1.0) -> SceneArrays:
+    """Random triangle soup for BVH correctness fuzzing."""
+    rng = np.random.default_rng(seed)
+    centers = rng.uniform(-extent, extent, (n_tris, 1, 3))
+    offsets = rng.normal(0, 0.08 * extent, (n_tris, 3, 3))
+    tris = (centers + offsets).astype(np.float32)
+    mats = [gltf_mod.GltfMaterial(np.array([0.8, 0.8, 0.8, 1], np.float32))]
+    lights = [
+        gltf_mod.GltfLight(np.zeros(3, np.float32), np.ones(3, np.float32), 10.0, 0)
+    ]
+    return scene_from_soup(list(tris), [0] * n_tris, mats, lights)
+
+
+def make_city(grid: int = 16, seed: int = 7) -> SceneArrays:
+    """Sponza-substitute: a grid of boxes ("buildings") + floor + lights.
+
+    Gives the BVH a real workload (thousands to hundreds of thousands of
+    triangles with uneven density) for the Sponza-class benchmark configs."""
+    rng = np.random.default_rng(seed)
+    tris, mat_ids = [], []
+    mats = [
+        gltf_mod.GltfMaterial(np.array([0.7, 0.7, 0.68, 1], np.float32), metallic_factor=0.0),
+        gltf_mod.GltfMaterial(np.array([0.6, 0.3, 0.2, 1], np.float32), metallic_factor=0.0),
+        gltf_mod.GltfMaterial(np.array([0.8, 0.8, 0.85, 1], np.float32), roughness_factor=0.2),
+        gltf_mod.GltfMaterial(np.array([0.25, 0.3, 0.4, 1], np.float32), metallic_factor=0.8,
+                              roughness_factor=0.3),
+    ]
+
+    def add(ts, mid):
+        tris.extend(ts)
+        mat_ids.extend([mid] * len(ts))
+
+    span = grid * 2.0
+    add(_box((0, -0.25, 0), (span, 0.25, span)), 0)  # ground slab
+    for i in range(grid):
+        for j in range(grid):
+            x = (i - grid / 2) * 4.0 + rng.uniform(-0.5, 0.5)
+            z = (j - grid / 2) * 4.0 + rng.uniform(-0.5, 0.5)
+            h = rng.uniform(1.0, 8.0)
+            w = rng.uniform(0.6, 1.6)
+            add(_box((x, h / 2, z), (w, h / 2, w), rng.uniform(0, 3.14)), int(rng.integers(1, 4)))
+            if rng.uniform() < 0.3:  # rooftop structure
+                add(_box((x, h + 0.4, z), (w * 0.4, 0.4, w * 0.4)), 2)
+    lights = [
+        gltf_mod.GltfLight(
+            np.array([rng.uniform(-span / 2, span / 2), rng.uniform(6, 14),
+                      rng.uniform(-span / 2, span / 2)], np.float32),
+            np.ones(3, np.float32),
+            200.0,
+            0,
+        )
+        for _ in range(4)
+    ]
+    return scene_from_soup(tris, mat_ids, mats, lights)
+
+
+def find_reference_cornell() -> Optional[str]:
+    for cand in (
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                     "media/scenes/cornell.gltf"),
+        "/root/reference/media/scenes/cornell.gltf",
+    ):
+        if os.path.exists(cand):
+            return cand
+    return None
+
+
+def load_cornell() -> SceneArrays:
+    """The default benchmark scene (config.json scene index 2)."""
+    path = find_reference_cornell()
+    if path is not None:
+        return load_scene(path)
+    return make_cornell_box()

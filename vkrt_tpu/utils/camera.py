@@ -1,0 +1,128 @@
+"""Camera: lookat/perspective matrices and primary-ray generation.
+
+Replicates the reference's camera stack — ``nvh::CameraManipulator`` lookat +
+``nvmath::perspectiveVK`` (hello_vulkan.cpp:61-72: fov from CameraManip,
+near 0.1, far 1000) — as pure functions producing the same
+viewProj/viewInverse/projInverse the UBO carries (shaders/host_device.h:68-73).
+
+Defaults mirror main.cpp:158-160: eye (0,0,15), center (0,0,0), up (0,1,0),
+fov 60 deg (nvh::CameraManipulator default).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import NamedTuple
+
+import numpy as np
+import jax.numpy as jnp
+
+NEAR_PLANE = 0.1
+FAR_PLANE = 1000.0
+
+
+@dataclasses.dataclass(frozen=True)
+class Camera:
+    """CameraManip-equivalent state (main.cpp:158-160)."""
+
+    eye: tuple = (0.0, 0.0, 15.0)
+    center: tuple = (0.0, 0.0, 0.0)
+    up: tuple = (0.0, 1.0, 0.0)
+    fov_deg: float = 60.0
+
+    def matrices(self, width: int, height: int) -> "CameraMatrices":
+        aspect = width / float(height)
+        view = look_at(self.eye, self.center, self.up)
+        proj = perspective_vk(self.fov_deg, aspect, NEAR_PLANE, FAR_PLANE)
+        return CameraMatrices(
+            view_proj=jnp.asarray(proj @ view, jnp.float32),
+            view=jnp.asarray(view, jnp.float32),
+            view_inverse=jnp.asarray(np.linalg.inv(view), jnp.float32),
+            proj_inverse=jnp.asarray(np.linalg.inv(proj), jnp.float32),
+        )
+
+
+class CameraMatrices(NamedTuple):
+    """GlobalUniforms equivalent (host_device.h:68-73) + raw view for viewZ.
+
+    A NamedTuple so it is a pytree and flows through jit as four arrays.
+    """
+
+    view_proj: jnp.ndarray
+    view: jnp.ndarray
+    view_inverse: jnp.ndarray
+    proj_inverse: jnp.ndarray
+
+
+def look_at(eye, center, up) -> np.ndarray:
+    """Right-handed GL-style view matrix (camera looks down -Z)."""
+    eye = np.asarray(eye, np.float64)
+    center = np.asarray(center, np.float64)
+    up = np.asarray(up, np.float64)
+    z = eye - center
+    z = z / np.linalg.norm(z)
+    x = np.cross(up, z)
+    x = x / np.linalg.norm(x)
+    y = np.cross(z, x)
+    m = np.eye(4)
+    m[0, :3] = x
+    m[1, :3] = y
+    m[2, :3] = z
+    m[:3, 3] = -m[:3, :3] @ eye
+    return m
+
+
+def perspective_vk(fov_deg: float, aspect: float, near: float, far: float) -> np.ndarray:
+    """nvmath::perspectiveVK — Vulkan clip space: Y flipped, depth [0, 1]."""
+    f = 1.0 / math.tan(math.radians(fov_deg) * 0.5)
+    m = np.zeros((4, 4))
+    m[0, 0] = f / aspect
+    m[1, 1] = -f
+    m[2, 2] = far / (near - far)
+    m[2, 3] = (near * far) / (near - far)
+    m[3, 2] = -1.0
+    return m
+
+
+def generate_rays(cam: CameraMatrices, width: int, height: int, jitter):
+    """Primary rays exactly as raytrace.rgen:44-55.
+
+    ``jitter``: (N, 2) in [0,1) or a scalar pair broadcast; N = width*height,
+    flat row-major with pixel (0,0) top-left (Vulkan image convention).
+    Returns (origin (N,3), direction (N,3)) — direction normalized in camera
+    space then rotated to world (the reference normalizes target.xyz before
+    the view transform; view is a rigid transform so order is equivalent).
+    """
+    xs = jnp.arange(width, dtype=jnp.float32)
+    ys = jnp.arange(height, dtype=jnp.float32)
+    px, py = jnp.meshgrid(xs, ys)  # (H, W)
+    pix = jnp.stack([px.reshape(-1), py.reshape(-1)], axis=-1)  # (N,2)
+    pixel_center = pix + jitter
+    in_uv = pixel_center / jnp.asarray([width, height], jnp.float32)
+    d = in_uv * 2.0 - 1.0
+    # target = projInverse @ (d.x, d.y, 1, 1); only .xyz used after normalize.
+    # Written as explicit multiply-adds rather than a matmul: tiny matmuls
+    # would hit the MXU at bf16 default precision on TPU — camera rays need
+    # full fp32 and the VPU provides it.
+    pi = cam.proj_inverse
+    tdir = jnp.stack(
+        [
+            pi[0, 0] * d[:, 0] + pi[0, 1] * d[:, 1] + pi[0, 2] + pi[0, 3],
+            pi[1, 0] * d[:, 0] + pi[1, 1] * d[:, 1] + pi[1, 2] + pi[1, 3],
+            pi[2, 0] * d[:, 0] + pi[2, 1] * d[:, 1] + pi[2, 2] + pi[2, 3],
+        ],
+        axis=-1,
+    )
+    tdir = tdir / jnp.linalg.norm(tdir, axis=-1, keepdims=True)
+    vi = cam.view_inverse
+    world_dir = jnp.stack(
+        [
+            vi[0, 0] * tdir[:, 0] + vi[0, 1] * tdir[:, 1] + vi[0, 2] * tdir[:, 2],
+            vi[1, 0] * tdir[:, 0] + vi[1, 1] * tdir[:, 1] + vi[1, 2] * tdir[:, 2],
+            vi[2, 0] * tdir[:, 0] + vi[2, 1] * tdir[:, 1] + vi[2, 2] * tdir[:, 2],
+        ],
+        axis=-1,
+    )
+    origin = jnp.broadcast_to(vi[:3, 3], world_dir.shape)
+    return origin, world_dir
