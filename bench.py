@@ -1,0 +1,97 @@
+"""Benchmark harness: the reference's default workload on one chip.
+
+Workload = the reference's default config (config.json:8-11 + initRayTracing
+defaults, hello_vulkan.cpp:911-918): Cornell at 1280x720, path-traced at
+spp=1, depth=3, progressive accumulation across frames. Reports steady-state
+throughput in Mrays/s (rays = every traceRayEXT-equivalent: primary, bounce
+and shadow rays actually alive, counted in-kernel).
+
+vs_baseline is against the 100 Mrays/s/chip north star from BASELINE.json.
+
+Prints exactly one JSON line. Extra diagnostics go to stderr.
+"""
+
+import json
+import sys
+import time
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from functools import partial
+
+    from vkrt_tpu.config import load_config
+    from vkrt_tpu.models.pathtracer import pathtrace_frame
+    from vkrt_tpu.ops.trace import make_tracer
+    from vkrt_tpu.scene import load_cornell
+    from vkrt_tpu.utils.camera import Camera
+
+    cfg = None
+    try:
+        cfg = load_config("config.json")
+        width, height = cfg.width, cfg.height
+    except Exception:
+        width, height = 1280, 720
+
+    t0 = time.time()
+    scene = load_cornell()
+    print(
+        f"[bench] scene: {scene.num_tris} tris, {scene.num_lights} lights "
+        f"({time.time()-t0:.2f}s); device: {jax.devices()[0]}",
+        file=sys.stderr,
+    )
+
+    tracer = make_tracer(scene, "auto")
+    cam = Camera().matrices(width, height)
+    step = jax.jit(
+        partial(
+            pathtrace_frame,
+            scene,
+            tracer,
+            width=width,
+            height=height,
+            samples=1,
+            depth=3,
+        )
+    )
+    accum = jnp.zeros((width * height, 3), jnp.float32)
+    clear = jnp.asarray([1.0, 1.0, 1.0, 1.0], jnp.float32)
+
+    # warmup / compile + frame 0 (centered jitter)
+    t0 = time.time()
+    accum, rays = step(cam, 0, accum, clear)
+    accum.block_until_ready()
+    print(f"[bench] compile+frame0: {time.time()-t0:.1f}s", file=sys.stderr)
+
+    # steady state
+    n_frames = 8
+    t0 = time.time()
+    total_rays = 0.0
+    for f in range(1, n_frames + 1):
+        accum, rays = step(cam, f, accum, clear)
+        total_rays += float(rays)
+    accum.block_until_ready()
+    dt = time.time() - t0
+
+    ms_per_frame = dt / n_frames * 1e3
+    mrays = total_rays / dt / 1e6
+    print(
+        f"[bench] {n_frames} frames: {ms_per_frame:.2f} ms/frame, "
+        f"{mrays:.1f} Mrays/s ({total_rays/n_frames/1e6:.2f} Mrays/frame)",
+        file=sys.stderr,
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "pathtrace_cornell_1280x720_spp1_depth3",
+                "value": round(mrays, 2),
+                "unit": "Mrays/s",
+                "vs_baseline": round(mrays / 100.0, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,94 @@
+"""Multi-device sharded rendering on the 8-virtual-CPU-device mesh
+(the TPU analog of 'multi-node without a cluster', SURVEY.md §4)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from vkrt_tpu.config import RenderSettings
+from vkrt_tpu.engine import Engine
+from vkrt_tpu.ops.trace import make_tracer
+from vkrt_tpu.parallel.mesh import factor_mesh, make_render_mesh
+from vkrt_tpu.parallel.render import (
+    device_put_accum,
+    make_sharded_pathtrace_step,
+    render_sharded,
+)
+from vkrt_tpu.scene import make_cornell_box
+from vkrt_tpu.utils.camera import Camera
+
+W, H = 64, 32
+
+needs_8dev = pytest.mark.skipif(
+    jax.device_count() < 8, reason="needs 8 virtual devices"
+)
+
+
+@pytest.fixture(scope="module")
+def box():
+    return make_cornell_box()
+
+
+@needs_8dev
+def test_tile_sharding_matches_single_device(box):
+    tracer = make_tracer(box, "bruteforce")
+    cam = Camera().matrices(W, H)
+    mesh = make_render_mesh(n_tile=8, n_spp=1)
+    accum, rays = render_sharded(
+        box, tracer, cam, mesh,
+        width=W, height=H, samples=1, depth=3, frames=2,
+        clear_color=(1, 1, 1, 1),
+    )
+    # single-device reference (identical seeding when n_spp == 1)
+    e = Engine(box, W, H, RenderSettings(rt_mode=1, backend="bruteforce"))
+    e.render_frame()
+    e.render_frame()
+    np.testing.assert_allclose(
+        np.asarray(accum), np.asarray(e.accum), rtol=1e-5, atol=1e-6
+    )
+    assert rays > 0
+
+
+@needs_8dev
+def test_tile_and_spp_axes(box):
+    tracer = make_tracer(box, "bruteforce")
+    cam = Camera().matrices(W, H)
+    mesh = make_render_mesh(n_tile=4, n_spp=2)
+    accum, rays = render_sharded(
+        box, tracer, cam, mesh,
+        width=W, height=H, samples=2, depth=2, frames=1,
+        clear_color=(1, 1, 1, 1),
+    )
+    a = np.asarray(accum)
+    assert np.isfinite(a).all()
+    assert a.max() > 0
+    # compare against unsharded 2-spp render: different RNG streams, same
+    # estimator -> images agree in the mean
+    e = Engine(box, W, H, RenderSettings(rt_mode=1, samples=2, depth=2,
+                                         backend="bruteforce"))
+    e.render_frame()
+    b = np.asarray(e.accum)
+    finite = np.isfinite(a) & np.isfinite(b) & (np.abs(b) < 50) & (np.abs(a) < 50)
+    assert abs(a[finite].mean() - b[finite].mean()) < 0.3
+
+
+@needs_8dev
+def test_output_sharding_is_tile_partitioned(box):
+    tracer = make_tracer(box, "bruteforce")
+    cam = Camera().matrices(W, H)
+    mesh = make_render_mesh(n_tile=8, n_spp=1)
+    step = make_sharded_pathtrace_step(
+        box, tracer, mesh, width=W, height=H, samples=1, depth=2
+    )
+    accum = device_put_accum(mesh, W, H)
+    out, _ = step(cam, 0, accum, jnp.ones(4, jnp.float32))
+    # output stays sharded: no implicit gather in the frame loop
+    assert len(out.sharding.device_set) == 8
+
+
+def test_factor_mesh():
+    assert factor_mesh(8) == (4, 2)
+    assert factor_mesh(2) == (2, 1)
+    assert factor_mesh(1) == (1, 1)
+    assert factor_mesh(6) == (3, 2)

@@ -143,11 +143,18 @@ def trace_pixels(
     *,
     samples: int,
     depth: int,
+    pix=None,
+    seeds=None,
 ) -> PathTraceResult:
-    """Full rgen main() over all pixels (rgen:24-121)."""
-    n = width * height
+    """Full rgen main() over all pixels (rgen:24-121).
+
+    ``pix``/``seeds``: optional per-shard pixel coordinates and RNG states —
+    the SPMD entry used by vkrt_tpu.parallel to run this function on a tile
+    of the frame per device. Defaults cover the whole frame.
+    """
+    n = width * height if pix is None else pix.shape[0]
     dt = scene.tri_v0.dtype
-    seed = seed_pixels(width, height, frame)
+    seed = seed_pixels(width, height, frame) if seeds is None else seeds
 
     def sample_body(_, acc):
         seed, hit_values, hit_dists, rays = acc
@@ -158,7 +165,7 @@ def trace_pixels(
             jnp.full((n, 2), 0.5, dt),
             jnp.stack([r1, r2], axis=-1),
         )
-        origin, direction = generate_rays(cam, width, height, jitter)
+        origin, direction = generate_rays(cam, width, height, jitter, pix=pix)
         carry = BounceCarry(
             origin=origin,
             direction=direction,

@@ -1,0 +1,100 @@
+"""Sharded frame rendering via shard_map over a (tile, spp) mesh.
+
+One jitted SPMD program per frame: each device runs the identical bounce
+chain (vkrt_tpu.models.pathtracer) on its pixel tile and sample group; the
+only collective is a psum-mean over the spp axis. Scene and BVH are
+replicated (read-only); the accumulation image lives sharded across frames
+so no resharding happens frame to frame.
+
+Seeding: sample groups get decorrelated streams via
+``tea(pixel_index, frame * n_spp_groups + group)`` — with one spp group this
+reduces exactly to the single-chip seeding (rng.seed_pixels), so a 1-device
+mesh reproduces the unsharded image bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from vkrt_tpu.models.pathtracer import accumulate, trace_pixels
+from vkrt_tpu.ops.rng import tea
+from vkrt_tpu.utils.camera import pixel_coords
+
+
+def make_sharded_pathtrace_step(
+    scene, tracer, mesh: Mesh, *, width: int, height: int, samples: int, depth: int
+):
+    """Build the jitted sharded step: (cam, frame, accum, clear) ->
+    (accum', rays). ``accum`` must be (H*W, 3) sharded P('tile')."""
+    n = width * height
+    n_tile = mesh.shape["tile"]
+    n_spp = mesh.shape["spp"]
+    assert n % n_tile == 0, f"pixels {n} not divisible by tile axis {n_tile}"
+    assert samples % n_spp == 0, f"spp {samples} not divisible by spp axis {n_spp}"
+    local_samples = samples // n_spp
+
+    pix_all = pixel_coords(width, height)
+    pid_all = jnp.arange(n, dtype=jnp.uint32)
+
+    def shard_body(cam, frame, accum_shard, clear_color, pix, pid):
+        group = jax.lax.axis_index("spp").astype(jnp.uint32)
+        seeds = tea(pid, jnp.uint32(frame) * jnp.uint32(n_spp) + group)
+        res = trace_pixels(
+            scene,  # replicated via closure capture
+            tracer,
+            cam,
+            width,
+            height,
+            frame,
+            clear_color,
+            samples=local_samples,
+            depth=depth,
+            pix=pix,
+            seeds=seeds,
+        )
+        radiance = jax.lax.pmean(res.radiance, "spp")
+        rays = jax.lax.psum(res.rays, ("tile", "spp"))
+        return accumulate(accum_shard, radiance, frame), rays
+
+    mapped = shard_map(
+        shard_body,
+        mesh=mesh,
+        in_specs=(P(), P(), P("tile"), P(), P("tile"), P("tile")),
+        out_specs=(P("tile"), P()),
+        # the bounce chain's scan carries mix device-varying and replicated
+        # values (e.g. zero-initialized accumulators); skip the vma check
+        check_vma=False,
+    )
+
+    @jax.jit
+    def step(cam, frame, accum, clear_color):
+        return mapped(cam, frame, accum, clear_color, pix_all, pid_all)
+
+    return step
+
+
+def device_put_accum(mesh: Mesh, width: int, height: int):
+    """Fresh accumulation image, sharded over the tile axis."""
+    return jax.device_put(
+        jnp.zeros((width * height, 3), jnp.float32), NamedSharding(mesh, P("tile"))
+    )
+
+
+def render_sharded(
+    scene, tracer, cam, mesh, *, width, height, samples, depth, frames, clear_color
+):
+    """Render ``frames`` progressive frames under the mesh; returns (N,3)."""
+    step = make_sharded_pathtrace_step(
+        scene, tracer, mesh, width=width, height=height, samples=samples, depth=depth
+    )
+    accum = device_put_accum(mesh, width, height)
+    total_rays = 0.0
+    for f in range(frames):
+        accum, rays = step(cam, f, accum, jnp.asarray(clear_color, jnp.float32))
+        total_rays += float(rays)
+    return accum, total_rays

@@ -85,19 +85,27 @@ def perspective_vk(fov_deg: float, aspect: float, near: float, far: float) -> np
     return m
 
 
-def generate_rays(cam: CameraMatrices, width: int, height: int, jitter):
+def pixel_coords(width: int, height: int):
+    """Flat row-major pixel (x, y) coordinates, (H*W, 2) float32 —
+    pixel (0,0) top-left (Vulkan image convention). Shardable on dim 0."""
+    xs = jnp.arange(width, dtype=jnp.float32)
+    ys = jnp.arange(height, dtype=jnp.float32)
+    px, py = jnp.meshgrid(xs, ys)  # (H, W)
+    return jnp.stack([px.reshape(-1), py.reshape(-1)], axis=-1)
+
+
+def generate_rays(cam: CameraMatrices, width: int, height: int, jitter, pix=None):
     """Primary rays exactly as raytrace.rgen:44-55.
 
-    ``jitter``: (N, 2) in [0,1) or a scalar pair broadcast; N = width*height,
-    flat row-major with pixel (0,0) top-left (Vulkan image convention).
+    ``jitter``: (N, 2) in [0,1) or a scalar pair broadcast. ``pix``: optional
+    (N, 2) pixel coordinates (defaults to the full frame) — passing an
+    explicit shard makes the whole ray-gen SPMD over a device mesh.
     Returns (origin (N,3), direction (N,3)) — direction normalized in camera
     space then rotated to world (the reference normalizes target.xyz before
     the view transform; view is a rigid transform so order is equivalent).
     """
-    xs = jnp.arange(width, dtype=jnp.float32)
-    ys = jnp.arange(height, dtype=jnp.float32)
-    px, py = jnp.meshgrid(xs, ys)  # (H, W)
-    pix = jnp.stack([px.reshape(-1), py.reshape(-1)], axis=-1)  # (N,2)
+    if pix is None:
+        pix = pixel_coords(width, height)
     pixel_center = pix + jitter
     in_uv = pixel_center / jnp.asarray([width, height], jnp.float32)
     d = in_uv * 2.0 - 1.0
