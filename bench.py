@@ -17,6 +17,10 @@ import time
 
 
 def main():
+    from vkrt_tpu.utils.jaxcache import enable as enable_cache
+
+    enable_cache()  # tunnel compiles are 2-10 min; cached reloads are ~30ms
+
     import jax
     import jax.numpy as jnp
     from functools import partial

@@ -54,11 +54,23 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--out", default="out.png")
     p.add_argument("--procedural", choices=["cornell", "city"], default=None,
                    help="use a procedural scene instead of a file")
+    p.add_argument("--save-state", default=None,
+                   help="checkpoint accumulation state to this .npz on exit")
+    p.add_argument("--load-state", default=None,
+                   help="resume accumulation state from this .npz")
+    p.add_argument("--stats", action="store_true",
+                   help="print per-run frame stats JSON to stderr")
+    p.add_argument("--trace-dir", default=None,
+                   help="write a jax.profiler device trace here")
     return p
 
 
 def main(argv=None) -> int:
     args = build_argparser().parse_args(argv)
+
+    from vkrt_tpu.utils.jaxcache import enable as enable_cache
+
+    enable_cache()
 
     cfg = EngineConfig()
     if args.config:
@@ -112,14 +124,37 @@ def main(argv=None) -> int:
     clear = tuple(args.clear_color) + (1.0,) if args.clear_color else DEFAULT_CLEAR_COLOR
 
     engine = Engine(scene, width, height, settings, cam, clear)
+
+    from vkrt_tpu.utils import checkpoint
+    from vkrt_tpu.utils.profiling import FrameStats, device_trace, timed_frame
+    from vkrt_tpu.models.post import to_u8_image
+
+    if args.load_state:
+        ok = checkpoint.restore(engine, args.load_state)
+        print(f"resume from {args.load_state}: {'ok, frame ' + str(engine.frame) if ok else 'rejected'}")
+
+    stats = FrameStats()
     t0 = time.time()
-    img = engine.render(frames=args.frames)
+    out = None
+    with device_trace(args.trace_dir):
+        for _ in range(args.frames):
+            rays_before = engine.total_rays
+            with timed_frame(stats, block=None):
+                out = engine.render_frame()
+                out.block_until_ready()
+            stats.rays[-1] = engine.total_rays - rays_before
     dt = time.time() - t0
+    img = to_u8_image(out, width, height)
     mrays = engine.total_rays / dt / 1e6 if dt > 0 else 0.0
     print(
         f"{args.frames} frames at {width}x{height} in {dt:.3f}s "
         f"({dt / args.frames * 1000:.1f} ms/frame, {mrays:.1f} Mrays/s incl. compile)"
     )
+    if args.stats:
+        stats.log()
+    if args.save_state:
+        checkpoint.save(engine, args.save_state)
+        print(f"saved state to {args.save_state}")
     write_png(args.out, img)
     print(f"wrote {args.out}")
     return 0

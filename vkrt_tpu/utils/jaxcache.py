@@ -1,0 +1,26 @@
+"""Persistent XLA compilation cache setup.
+
+The axon TPU tunnel compiles our render programs in 2-10 minutes (load
+dependent) — but compiled executables reload from the persistent cache in
+~30ms. Every entry point (app, bench, driver hooks) calls enable() first so
+a given (program, shape) pair is only ever compiled once per machine.
+"""
+
+from __future__ import annotations
+
+import os
+
+_DEFAULT_DIR = os.path.expanduser("~/.cache/vkrt_tpu_xla")
+
+
+def enable(cache_dir: str = None) -> None:
+    import jax
+
+    cache_dir = cache_dir or os.environ.get("VKRT_XLA_CACHE", _DEFAULT_DIR)
+    os.makedirs(cache_dir, exist_ok=True)
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:
+        pass  # older jax: flag names differ; cache is an optimization only
