@@ -47,7 +47,11 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--denoiser", action="store_true", help="enable SVGF denoiser (GI)")
     p.add_argument("--view-accumulated", action="store_true")
     p.add_argument("--clear-color", type=float, nargs=3, default=None)
-    p.add_argument("--backend", choices=["auto", "bruteforce", "bvh"], default="auto")
+    p.add_argument(
+        "--backend",
+        choices=["auto", "bruteforce", "bvh", "pallas"],
+        default="auto",
+    )
     p.add_argument("--eye", type=float, nargs=3, default=None)
     p.add_argument("--lookat", type=float, nargs=3, default=None)
     p.add_argument("--fov", type=float, default=60.0)

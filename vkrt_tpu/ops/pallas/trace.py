@@ -1,0 +1,500 @@
+"""Fused Pallas trace kernels: cluster-culled ray-triangle intersection.
+
+The TPU-native replacement for hardware BVH traversal where it matters — the
+hot ``traceRayEXT`` loop. Design (see SURVEY.md §7 hard-parts):
+
+* Triangles are Morton-sorted and packed into **clusters of 64** (contiguous
+  leaf ranges, so clusters are spatially tight); clusters group into
+  **superclusters of 16**. Cluster/super AABBs live in SMEM, triangle SoA
+  components in VMEM as (T_pad, 1) column vectors.
+* One kernel program processes a **block of 1024 rays** (an (8, 128) tile per
+  ray component). For each supercluster, then each cluster, the block takes a
+  slab-test **vote** — a vector AABB test against all 1024 rays reduced to one
+  scalar — and *branches over the whole triangle batch* when nobody can hit
+  it. Scalar-predicated skipping is exactly what XLA's vectorized model
+  cannot express and where Pallas earns its keep; with coherent rays this
+  cuts tested triangles by 1-2 orders of magnitude.
+* Surviving clusters run an all-vector Möller-Trumbore: triangle components
+  broadcast as (8, 1) group columns against (1, 128) ray rows — 1024
+  ray-triangle pairs per VPU op, no per-lane gathers, no scalar loads in the
+  inner loop.
+* Closest-hit keeps per-ray running ``t_best`` in VMEM scratch, which also
+  tightens the votes as the block converges; any-hit (shadow rays) votes with
+  the not-yet-hit mask so fully-shadowed blocks stop testing.
+
+Rays per component are laid out (n_blocks*8, 128) so the grid BlockSpec
+slices one (8, 128) tile per program — fully pipelined by Mosaic.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+CLUSTER = 64          # triangles per cluster
+GROUP = 8             # triangles per inner vector step (sublane dim)
+SUPER = 16            # clusters per supercluster
+BLOCK_ROWS = 8        # ray rows per program -> 8*128 = 1024 rays
+LANES = 128
+INF = 3e38  # python float: jnp scalars would be captured as kernel constants
+_DET_EPS = 1e-9
+
+
+class ClusterScene(NamedTuple):
+    """Triangle data packed for the kernels (host-built, device-resident)."""
+
+    tri_cols: tuple          # 9 arrays (T_pad, 1) f32: v0,e1,e2 xyz columns
+    cluster_aabb: jnp.ndarray  # (n_clusters, 8) f32 (minxyz, maxxyz, pad)
+    super_aabb: jnp.ndarray    # (n_super, 8) f32
+    tri_remap: jnp.ndarray     # (T_pad,) i32: packed slot -> original tri id
+    n_clusters: int
+    n_super: int
+
+
+def build_cluster_scene(tri_v0, tri_e1, tri_e2) -> ClusterScene:
+    """Morton-sort triangles, pack into clusters, compute AABB hierarchy."""
+    from vkrt_tpu.bvh.lbvh import morton3d
+
+    v0 = np.asarray(tri_v0, np.float32)
+    e1 = np.asarray(tri_e1, np.float32)
+    e2 = np.asarray(tri_e2, np.float32)
+    n = len(v0)
+    v1 = v0 + e1
+    v2 = v0 + e2
+    bmin = np.minimum(np.minimum(v0, v1), v2)
+    bmax = np.maximum(np.maximum(v0, v1), v2)
+    # degenerate padding triangles (all-zero) would pollute cluster bounds at
+    # the origin; give them inverted boxes so they never vote a cluster in
+    degen = (np.abs(e1).sum(1) == 0) & (np.abs(e2).sum(1) == 0)
+    centroid = 0.5 * (bmin + bmax)
+    lo, hi = centroid.min(0), centroid.max(0)
+    codes = np.asarray(morton3d(jnp.asarray((centroid - lo) / np.maximum(hi - lo, 1e-12))))
+    order = np.argsort(
+        codes.astype(np.int64) * (n + 1) + np.arange(n), kind="stable"
+    )
+    # push degenerate pad tris to the end so real clusters stay tight
+    order = np.concatenate([order[~degen[order]], order[degen[order]]])
+
+    n_clusters = -(-n // CLUSTER)
+    n_super = -(-n_clusters // SUPER)
+    n_clusters_pad = n_super * SUPER
+    t_pad = n_clusters_pad * CLUSTER
+
+    remap = np.full(t_pad, 0, np.int32)
+    remap[:n] = order
+    valid = np.zeros(t_pad, bool)
+    valid[:n] = ~degen[order]
+
+    def col(a, j):
+        out = np.zeros((t_pad, 1), np.float32)
+        out[:n, 0] = a[order, j]
+        out[:n, 0][~valid[:n]] = 0.0
+        return out
+
+    tri_cols = tuple(
+        jnp.asarray(col(a, j))
+        for a in (v0, e1, e2)
+        for j in range(3)
+    )
+
+    cmin = np.full((n_clusters_pad, 3), np.inf, np.float32)
+    cmax = np.full((n_clusters_pad, 3), -np.inf, np.float32)
+    bmin_o = bmin[order]
+    bmax_o = bmax[order]
+    for c in range(n_clusters):
+        s, e = c * CLUSTER, min((c + 1) * CLUSTER, n)
+        m = valid[s:e]
+        if m.any():
+            cmin[c] = bmin_o[s:e][m].min(0)
+            cmax[c] = bmax_o[s:e][m].max(0)
+    smin = np.full((n_super, 3), np.inf, np.float32)
+    smax = np.full((n_super, 3), -np.inf, np.float32)
+    for s in range(n_super):
+        block = cmin[s * SUPER : (s + 1) * SUPER]
+        finite = np.isfinite(block[:, 0])
+        if finite.any():
+            smin[s] = block[finite].min(0)
+            smax[s] = cmax[s * SUPER : (s + 1) * SUPER][finite].max(0)
+
+    def pack_aabb(mn, mx):
+        out = np.zeros((len(mn), 8), np.float32)
+        out[:, :3] = mn
+        out[:, 3:6] = mx
+        return jnp.asarray(out)
+
+    return ClusterScene(
+        tri_cols=tri_cols,
+        cluster_aabb=pack_aabb(cmin, cmax),
+        super_aabb=pack_aabb(smin, smax),
+        tri_remap=jnp.asarray(remap),
+        n_clusters=n_clusters_pad,
+        n_super=n_super,
+    )
+
+
+def _slab_vote(aabb_ref, idx, ox, oy, oz, ix, iy, iz, t_min, t_lim):
+    """AABB slab test of one box (scalars from SMEM) vs an (8,128) ray tile.
+    Returns ((8,128) bool hit, per-ray tnear unused)."""
+    minx = aabb_ref[idx, 0]
+    miny = aabb_ref[idx, 1]
+    minz = aabb_ref[idx, 2]
+    maxx = aabb_ref[idx, 3]
+    maxy = aabb_ref[idx, 4]
+    maxz = aabb_ref[idx, 5]
+    tx0 = (minx - ox) * ix
+    tx1 = (maxx - ox) * ix
+    ty0 = (miny - oy) * iy
+    ty1 = (maxy - oy) * iy
+    tz0 = (minz - oz) * iz
+    tz1 = (maxz - oz) * iz
+    tnear = jnp.maximum(
+        jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
+        jnp.maximum(jnp.minimum(tz0, tz1), t_min),
+    )
+    tfar = jnp.minimum(
+        jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
+        jnp.minimum(jnp.maximum(tz0, tz1), t_lim),
+    )
+    return tnear <= tfar
+
+
+def _mt_group(
+    tri_refs, base, ox, oy, oz, dx, dy, dz, t_min
+):
+    """Möller-Trumbore for an 8-triangle group vs a 128-ray row.
+
+    tri components load as (8,1) columns, ray components are (1,128) rows;
+    every op below computes 1024 ray-triangle pairs. Returns (t, u, v, valid)
+    all (8,128) with t = INF where invalid.
+    """
+    v0x, v0y, v0z, e1x, e1y, e1z, e2x, e2y, e2z = (
+        r[pl.ds(base, GROUP), :] for r in tri_refs
+    )
+    # pvec = cross(d, e2)
+    px = dy * e2z - dz * e2y
+    py = dz * e2x - dx * e2z
+    pz = dx * e2y - dy * e2x
+    det = e1x * px + e1y * py + e1z * pz
+    inv_det = jnp.where(jnp.abs(det) > _DET_EPS, pl.reciprocal(det, approx=False), 0.0)
+    tx = ox - v0x
+    ty = oy - v0y
+    tz = oz - v0z
+    u = (tx * px + ty * py + tz * pz) * inv_det
+    # qvec = cross(tvec, e1)
+    qx = ty * e1z - tz * e1y
+    qy = tz * e1x - tx * e1z
+    qz = tx * e1y - ty * e1x
+    v = (dx * qx + dy * qy + dz * qz) * inv_det
+    t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+    valid = (
+        (jnp.abs(det) > _DET_EPS)
+        & (u >= 0.0)
+        & (v >= 0.0)
+        & (u + v <= 1.0)
+        & (t > t_min)
+    )
+    return jnp.where(valid, t, INF), u, v, valid
+
+
+def _closest_kernel(
+    n_super: int,
+    t_min: float,
+    t_max: float,
+    super_ref,
+    cluster_ref,
+    *rest,
+):
+    tri_refs = rest[:9]
+    ox_r, oy_r, oz_r, dx_r, dy_r, dz_r = rest[9:15]
+    t_out, idx_out, u_out, v_out = rest[15:19]
+
+    ox, oy, oz = ox_r[:], oy_r[:], oz_r[:]
+    dx, dy, dz = dx_r[:], dy_r[:], dz_r[:]
+
+    def safe_inv(d):
+        return pl.reciprocal(
+            jnp.where(jnp.abs(d) < 1e-20, jnp.where(d < 0, -1e-20, 1e-20), d),
+            approx=False,
+        )
+
+    ix, iy, iz = safe_inv(dx), safe_inv(dy), safe_inv(dz)
+
+    t_out[:] = jnp.full((BLOCK_ROWS, LANES), INF, jnp.float32)
+    idx_out[:] = jnp.full((BLOCK_ROWS, LANES), -1, jnp.int32)
+    u_out[:] = jnp.zeros((BLOCK_ROWS, LANES), jnp.float32)
+    v_out[:] = jnp.zeros((BLOCK_ROWS, LANES), jnp.float32)
+
+    sub_iota = jax.lax.broadcasted_iota(jnp.int32, (GROUP, LANES), 0)
+
+    def cluster_work(c):
+        """Test all 64 triangles of cluster c against the ray block."""
+        for row in range(BLOCK_ROWS):  # static unroll: 128 rays per row
+            oxr = ox[row : row + 1, :]
+            oyr = oy[row : row + 1, :]
+            ozr = oz[row : row + 1, :]
+            dxr = dx[row : row + 1, :]
+            dyr = dy[row : row + 1, :]
+            dzr = dz[row : row + 1, :]
+            t_row = t_out[row : row + 1, :]
+            idx_row = idx_out[row : row + 1, :]
+            u_row = u_out[row : row + 1, :]
+            v_row = v_out[row : row + 1, :]
+            for g in range(CLUSTER // GROUP):
+                base = c * CLUSTER + g * GROUP
+                t_c, u_c, v_c, valid = _mt_group(
+                    tri_refs, base, oxr, oyr, ozr, dxr, dyr, dzr, t_min
+                )
+                t_c = jnp.where(t_c < t_max, t_c, INF)
+                # reduce 8 candidate triangles -> best per lane
+                t_min_g = jnp.min(t_c, axis=0, keepdims=True)  # (1,128)
+                is_min = t_c == t_min_g
+                win_sub = jnp.min(
+                    jnp.where(is_min, sub_iota, GROUP), axis=0, keepdims=True
+                )
+                pick = sub_iota == win_sub
+                u_g = jnp.sum(jnp.where(pick, u_c, 0.0), axis=0, keepdims=True)
+                v_g = jnp.sum(jnp.where(pick, v_c, 0.0), axis=0, keepdims=True)
+                improved = t_min_g < t_row
+                t_row = jnp.where(improved, t_min_g, t_row)
+                idx_g = base + win_sub
+                idx_row = jnp.where(improved, idx_g, idx_row)
+                u_row = jnp.where(improved, u_g, u_row)
+                v_row = jnp.where(improved, v_g, v_row)
+            t_out[row : row + 1, :] = t_row
+            idx_out[row : row + 1, :] = idx_row
+            u_out[row : row + 1, :] = u_row
+            v_out[row : row + 1, :] = v_row
+
+    def super_body(s, _):
+        vote_s = jnp.any(
+            _slab_vote(super_ref, s, ox, oy, oz, ix, iy, iz, t_min, t_out[:])
+        )
+
+        @pl.when(vote_s)
+        def _():
+            def cluster_body(k, __):
+                c = s * SUPER + k
+                vote_c = jnp.any(
+                    _slab_vote(cluster_ref, c, ox, oy, oz, ix, iy, iz, t_min, t_out[:])
+                )
+
+                @pl.when(vote_c)
+                def _():
+                    cluster_work(c)
+
+                return 0
+
+            jax.lax.fori_loop(0, SUPER, cluster_body, 0)
+
+        return 0
+
+    jax.lax.fori_loop(0, n_super, super_body, 0)
+
+
+def _any_kernel(
+    n_super: int,
+    t_min: float,
+    super_ref,
+    cluster_ref,
+    *rest,
+):
+    tri_refs = rest[:9]
+    ox_r, oy_r, oz_r, dx_r, dy_r, dz_r, tmax_r = rest[9:16]
+    hit_out = rest[16]
+
+    ox, oy, oz = ox_r[:], oy_r[:], oz_r[:]
+    dx, dy, dz = dx_r[:], dy_r[:], dz_r[:]
+    tmax = tmax_r[:]
+
+    def safe_inv(d):
+        return pl.reciprocal(
+            jnp.where(jnp.abs(d) < 1e-20, jnp.where(d < 0, -1e-20, 1e-20), d),
+            approx=False,
+        )
+
+    ix, iy, iz = safe_inv(dx), safe_inv(dy), safe_inv(dz)
+    hit_out[:] = jnp.zeros((BLOCK_ROWS, LANES), jnp.int32)
+
+    def cluster_work(c):
+        for row in range(BLOCK_ROWS):
+            oxr = ox[row : row + 1, :]
+            oyr = oy[row : row + 1, :]
+            ozr = oz[row : row + 1, :]
+            dxr = dx[row : row + 1, :]
+            dyr = dy[row : row + 1, :]
+            dzr = dz[row : row + 1, :]
+            tmax_row = tmax[row : row + 1, :]
+            hit_row = hit_out[row : row + 1, :]
+            for g in range(CLUSTER // GROUP):
+                base = c * CLUSTER + g * GROUP
+                t_c, _, _, _ = _mt_group(
+                    tri_refs, base, oxr, oyr, ozr, dxr, dyr, dzr, t_min
+                )
+                any_hit = jnp.any(t_c < tmax_row, axis=0, keepdims=True)
+                hit_row = jnp.where(any_hit, 1, hit_row)
+            hit_out[row : row + 1, :] = hit_row
+
+    def super_body(s, _):
+        live = hit_out[:] == 0
+        t_live = jnp.where(live, tmax, t_min)  # dead lanes cull everything
+        vote_s = jnp.any(
+            _slab_vote(super_ref, s, ox, oy, oz, ix, iy, iz, t_min, t_live)
+        )
+
+        @pl.when(vote_s)
+        def _():
+            def cluster_body(k, __):
+                c = s * SUPER + k
+                live_k = hit_out[:] == 0
+                t_live_k = jnp.where(live_k, tmax, t_min)
+                vote_c = jnp.any(
+                    _slab_vote(cluster_ref, c, ox, oy, oz, ix, iy, iz, t_min, t_live_k)
+                )
+
+                @pl.when(vote_c)
+                def _():
+                    cluster_work(c)
+
+                return 0
+
+            jax.lax.fori_loop(0, SUPER, cluster_body, 0)
+
+        return 0
+
+    jax.lax.fori_loop(0, n_super, super_body, 0)
+
+
+def _pad_rays(orig, direction):
+    n = orig.shape[0]
+    block = BLOCK_ROWS * LANES
+    n_pad = (-n) % block
+    if n_pad:
+        orig = jnp.concatenate([orig, jnp.zeros((n_pad, 3), orig.dtype)])
+        direction = jnp.concatenate([direction, jnp.zeros((n_pad, 3), direction.dtype)])
+    total = orig.shape[0]
+    rows = total // LANES
+
+    def comp(a, j):
+        return a[:, j].reshape(rows, LANES)
+
+    return (
+        tuple(comp(orig, j) for j in range(3)),
+        tuple(comp(direction, j) for j in range(3)),
+        n,
+        rows,
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cs_static", "t_min", "t_max", "interpret")
+)
+def _closest_call(cs: ClusterScene, orig, direction, cs_static, t_min, t_max, interpret):
+    n_clusters, n_super = cs_static
+    (o_comps, d_comps, n, rows) = _pad_rays(orig, direction)
+    n_blocks = rows // BLOCK_ROWS
+    ray_spec = pl.BlockSpec(
+        (BLOCK_ROWS, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    out_spec = ray_spec
+    kernel = functools.partial(_closest_kernel, n_super, t_min, t_max)
+    outs = pl.pallas_call(
+        kernel,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            *[pl.BlockSpec(memory_space=pltpu.VMEM)] * 9,
+            *[ray_spec] * 6,
+        ],
+        out_specs=[out_spec] * 4,
+        out_shape=[
+            jax.ShapeDtypeStruct((rows, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((rows, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((rows, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((rows, LANES), jnp.float32),
+        ],
+        interpret=interpret,
+    )(cs.super_aabb, cs.cluster_aabb, *cs.tri_cols, *o_comps, *d_comps)
+    t, idx, u, v = (o.reshape(-1)[:n] for o in outs)
+    hit = idx >= 0
+    tri = jnp.take(cs.tri_remap, jnp.maximum(idx, 0))
+    return hit, jnp.where(hit, t, 0.0), jnp.where(hit, tri, -1), u, v
+
+
+@functools.partial(jax.jit, static_argnames=("cs_static", "t_min", "interpret"))
+def _any_call(cs: ClusterScene, orig, direction, t_max_per_ray, cs_static, t_min, interpret):
+    n_clusters, n_super = cs_static
+    (o_comps, d_comps, n, rows) = _pad_rays(orig, direction)
+    block = BLOCK_ROWS * LANES
+    n_pad = (-n) % block
+    tmax = t_max_per_ray
+    if n_pad:
+        tmax = jnp.concatenate([tmax, jnp.full((n_pad,), -1.0, tmax.dtype)])
+    tmax2d = tmax.reshape(rows, LANES)
+    n_blocks = rows // BLOCK_ROWS
+    ray_spec = pl.BlockSpec(
+        (BLOCK_ROWS, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    kernel = functools.partial(_any_kernel, n_super, t_min)
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            *[pl.BlockSpec(memory_space=pltpu.VMEM)] * 9,
+            *[ray_spec] * 7,
+        ],
+        out_specs=ray_spec,
+        out_shape=jax.ShapeDtypeStruct((rows, LANES), jnp.int32),
+        interpret=interpret,
+    )(cs.super_aabb, cs.cluster_aabb, *cs.tri_cols, *o_comps, *d_comps, tmax2d)
+    return out.reshape(-1)[:n] > 0
+
+
+class PallasTracer(NamedTuple):
+    """Trace backend running the fused cluster kernels."""
+
+    cs: ClusterScene
+    interpret: bool
+
+    def closest(self, orig, direction, t_min, t_max):
+        from vkrt_tpu.ops.trace import HitInfo
+
+        hit, t, tri, u, v = _closest_call(
+            self.cs,
+            orig,
+            direction,
+            (self.cs.n_clusters, self.cs.n_super),
+            float(t_min),
+            float(t_max),
+            self.interpret,
+        )
+        return HitInfo(hit=hit, t=t, tri=tri, u=u, v=v)
+
+    def any(self, orig, direction, t_min, t_max):
+        t_max_per_ray = jnp.broadcast_to(
+            jnp.asarray(t_max, orig.dtype), orig.shape[:1]
+        )
+        return _any_call(
+            self.cs,
+            orig,
+            direction,
+            t_max_per_ray,
+            (self.cs.n_clusters, self.cs.n_super),
+            float(t_min),
+            self.interpret,
+        )
+
+
+def make_pallas_tracer(scene, interpret: bool = None) -> PallasTracer:
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    cs = build_cluster_scene(scene.tri_v0, scene.tri_e1, scene.tri_e2)
+    return PallasTracer(cs=cs, interpret=interpret)

@@ -222,7 +222,20 @@ class Tracer(NamedTuple):
         )
 
 
-def make_tracer(scene, backend: str = "auto") -> Tracer:
+def make_tracer(scene, backend: str = "auto"):
+    """Pick a trace backend.
+
+    ``auto``: the fused Pallas cluster kernels on TPU (the production path);
+    on CPU, brute force for small scenes and the LBVH beyond — Pallas
+    interpret mode is far too slow for full frames, and these backends double
+    as the correctness oracles for the kernels.
+    """
+    import jax
+
+    if backend == "pallas" or (backend == "auto" and jax.default_backend() == "tpu"):
+        from vkrt_tpu.ops.pallas.trace import make_pallas_tracer
+
+        return make_pallas_tracer(scene)
     bvh = None
     if backend == "bvh" or (
         backend == "auto" and scene.tri_v0.shape[0] > BRUTEFORCE_MAX_TRIS

@@ -12,8 +12,23 @@ import os
 
 _DEFAULT_DIR = os.path.expanduser("~/.cache/vkrt_tpu_xla")
 
+# XLA places the trace kernels' frame-sized outputs in scoped VMEM when they
+# sit inside the frame loop; the default 16MB scoped limit then OOMs at
+# compile time. Must be set before the TPU backend initializes.
+_SCOPED_VMEM = "--xla_tpu_scoped_vmem_limit_kib=98304"
+
+
+def _extend_libtpu_args() -> None:
+    cur = os.environ.get("LIBTPU_INIT_ARGS", "")
+    if "xla_tpu_scoped_vmem_limit_kib" not in cur:
+        os.environ["LIBTPU_INIT_ARGS"] = (cur + " " + _SCOPED_VMEM).strip()
+
+
+_extend_libtpu_args()  # at import, before jax pulls up the backend
+
 
 def enable(cache_dir: str = None) -> None:
+    _extend_libtpu_args()
     import jax
 
     cache_dir = cache_dir or os.environ.get("VKRT_XLA_CACHE", _DEFAULT_DIR)
