@@ -1,0 +1,116 @@
+"""Pallas trace kernels (interpret mode on CPU) vs the brute-force oracle,
+plus the ray-sorting wrapper's permutation correctness."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from vkrt_tpu.ops.pallas.trace import build_cluster_scene, make_pallas_tracer
+from vkrt_tpu.ops.sort_rays import make_sorting_tracer, ray_sort_keys
+from vkrt_tpu.ops.trace import make_tracer
+from vkrt_tpu.scene import make_cornell_box, make_random_soup
+
+
+@pytest.fixture(scope="module")
+def box():
+    return make_cornell_box()
+
+
+def _rays(n, rng, spread=3.0):
+    o = jnp.asarray(rng.normal(size=(n, 3)) * spread, jnp.float32)
+    d = rng.normal(size=(n, 3))
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    return o, jnp.asarray(d, jnp.float32)
+
+
+def test_cluster_scene_structure(box):
+    cs = build_cluster_scene(box.tri_v0, box.tri_e1, box.tri_e2)
+    assert cs.n_clusters % 16 == 0
+    assert cs.tri_cols[0].shape == (cs.n_clusters * 64, 1)
+    # every real triangle appears exactly once in the remap prefix
+    remap = np.asarray(cs.tri_remap)
+    aabb = np.asarray(cs.cluster_aabb)
+    # non-empty clusters have lo <= hi; empties are inverted (never hit)
+    nonempty = aabb[:, 0] <= aabb[:, 3]
+    assert nonempty.any()
+    assert (aabb[nonempty, :3] <= aabb[nonempty, 3:6] + 1e-6).all()
+
+
+def test_pallas_closest_matches_oracle(box, rng):
+    pt = make_pallas_tracer(box, interpret=True)
+    bf = make_tracer(box, "bruteforce")
+    o, d = _rays(1500, rng)
+    ref = bf.closest(o, d, 1e-3, 1e4)
+    got = pt.closest(o, d, 1e-3, 1e4)
+    np.testing.assert_array_equal(np.asarray(got.hit), np.asarray(ref.hit))
+    h = np.asarray(ref.hit)
+    np.testing.assert_allclose(
+        np.asarray(got.t)[h], np.asarray(ref.t)[h], rtol=1e-4, atol=1e-5
+    )
+    # coplanar-face ties may resolve to a different (equal-t) triangle
+    same = np.asarray(got.tri)[h] == np.asarray(ref.tri)[h]
+    assert same.mean() > 0.995
+    np.testing.assert_allclose(
+        np.asarray(got.u)[h][same], np.asarray(ref.u)[h][same],
+        rtol=1e-3, atol=1e-4,
+    )
+
+
+def test_pallas_any_matches_oracle(box, rng):
+    pt = make_pallas_tracer(box, interpret=True)
+    bf = make_tracer(box, "bruteforce")
+    o, d = _rays(1500, rng)
+    for tmax in (0.5, 3.0, 1e4):
+        ref = bf.any(o, d, 1e-3, tmax)
+        got = pt.any(o, d, 1e-3, tmax)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_pallas_degenerate_rays_miss(box):
+    pt = make_pallas_tracer(box, interpret=True)
+    o = jnp.zeros((1024, 3))
+    d = jnp.zeros((1024, 3))
+    hi = pt.closest(o, d, 1e-3, 1e4)
+    assert not np.asarray(hi.hit).any()
+    assert not np.asarray(pt.any(o, d, 1e-3, 0.0)).any()
+
+
+def test_pallas_random_soup(rng):
+    soup = make_random_soup(300, seed=3)
+    pt = make_pallas_tracer(soup, interpret=True)
+    bf = make_tracer(soup, "bruteforce")
+    o, d = _rays(1200, rng, spread=1.5)
+    ref = bf.closest(o, d, 1e-3, 1e4)
+    got = pt.closest(o, d, 1e-3, 1e4)
+    np.testing.assert_array_equal(np.asarray(got.hit), np.asarray(ref.hit))
+    h = np.asarray(ref.hit)
+    np.testing.assert_allclose(
+        np.asarray(got.t)[h], np.asarray(ref.t)[h], rtol=1e-4, atol=1e-5
+    )
+
+
+def test_sorting_tracer_identical_results(box, rng):
+    bf = make_tracer(box, "bruteforce")
+    st = make_sorting_tracer(bf, box)
+    o, d = _rays(2000, rng)
+    ref = bf.closest(o, d, 1e-3, 1e4)
+    got = st.closest(o, d, 1e-3, 1e4)
+    np.testing.assert_array_equal(np.asarray(got.hit), np.asarray(ref.hit))
+    np.testing.assert_array_equal(np.asarray(got.tri), np.asarray(ref.tri))
+    np.testing.assert_allclose(np.asarray(got.t), np.asarray(ref.t))
+    ref_any = bf.any(o, d, 1e-3, 2.0)
+    got_any = st.any(o, d, 1e-3, 2.0)
+    np.testing.assert_array_equal(np.asarray(got_any), np.asarray(ref_any))
+
+
+def test_ray_sort_keys_group_by_octant_and_cell(rng):
+    lo = jnp.zeros(3)
+    hi = jnp.ones(3) * 10
+    o = jnp.asarray([[1.0, 1.0, 1.0], [1.01, 1.0, 1.0], [9.0, 9.0, 9.0]])
+    d = jnp.asarray([[1.0, 0.0, 0.1], [1.0, 0.0, 0.1], [1.0, 0.0, 0.1]])
+    k = np.asarray(ray_sort_keys(o, d, lo, hi))
+    assert k[0] == k[1]  # same cell, same octant
+    assert k[0] != k[2]  # far cell differs
+    d2 = jnp.asarray([[-1.0, 0.0, 0.1]])
+    k2 = np.asarray(ray_sort_keys(o[:1], d2, lo, hi))
+    assert k2[0] != k[0]  # octant differs

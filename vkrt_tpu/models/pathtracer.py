@@ -67,8 +67,11 @@ def bounce_chain(
     clear3 = jnp.asarray(clear_color, carry.origin.dtype)[:3]
 
     def body(d, c: BounceCarry) -> BounceCarry:
-        hi = tracer.closest(c.origin, c.direction, T_MIN, T_MAX)
-        miss = ~hi.hit
+        # dead lanes get a degenerate ray (dir=0): contribution-neutral, and
+        # the trace kernels' block votes then skip them for free
+        live_dir = jnp.where(c.active[:, None], c.direction, 0.0)
+        hi = tracer.closest(c.origin, live_dir, T_MIN, T_MAX)
+        miss = ~hi.hit & c.active | ~c.active
         tri = jnp.maximum(hi.tri, 0)
 
         surf = surface_at_hit(scene, tri, hi.u, hi.v, c.direction)
@@ -81,13 +84,16 @@ def bounce_chain(
         is_spec_this = jnp.where(miss, c.is_specular, bs.is_specular)
         light_dist_this = jnp.where(miss, c.light_dist, bs.light_dist)
 
-        # shadow ray (rgen:77-97): diffuse hits only
+        # shadow ray (rgen:77-97): diffuse hits only. Lanes that don't need
+        # one get dir=0 and tmax=0 so the kernel votes skip them.
         do_shadow = c.active & ~miss & ~is_spec_this
         shadow_hit = tracer.any(
             surf.world_pos,
-            bs.shadow_dir,
+            jnp.where(do_shadow[:, None], bs.shadow_dir, 0.0),
             T_MIN,
-            jnp.maximum(light_dist_this - 0.1, T_MIN),
+            jnp.where(
+                do_shadow, jnp.maximum(light_dist_this - 0.1, T_MIN), 0.0
+            ),
         )
         shadow_hit = shadow_hit & do_shadow
 

@@ -55,10 +55,78 @@ class ClusterScene(NamedTuple):
     tri_remap: jnp.ndarray     # (T_pad,) i32: packed slot -> original tri id
     n_clusters: int
     n_super: int
+    # plane-based precomputation for the matmul (v2) kernel: for each
+    # 32-triangle matmul group, rows [n*32 normals | s1 | s2] stacked as
+    # (n_groups*96, 3), plus per-tri offsets (T_pad, 1): c = n.v0, u0 = -v0.s1,
+    # w0 = -v0.s2. Derivation: t = (c - n.o)/(n.d); u = s1.(o + t d) + u0.
+    plane_mat: jnp.ndarray   # (n_groups*96, 3) f32
+    plane_c: jnp.ndarray     # (T_pad, 1) f32
+    plane_u0: jnp.ndarray    # (T_pad, 1) f32
+    plane_w0: jnp.ndarray    # (T_pad, 1) f32
+    # per-direction-octant front-to-back cluster visit order (8, n_clusters)
+    cluster_order: jnp.ndarray  # i32
 
 
 def build_cluster_scene(tri_v0, tri_e1, tri_e2) -> ClusterScene:
-    """Morton-sort triangles, pack into clusters, compute AABB hierarchy."""
+    """Pack triangles into clusters + AABB hierarchy for the kernels.
+
+    Prefers the native binned-SAH decomposition (native/bvh_builder.cpp via
+    utils.native) — SAH subtrees give tighter cluster boxes than Morton runs,
+    which directly cuts the triangles each ray block tests. Falls back to
+    Morton-order clustering when the native library is unavailable.
+    """
+    from vkrt_tpu.utils import native
+
+    sah = native.build_sah_clusters(
+        np.asarray(tri_v0, np.float32),
+        np.asarray(tri_e1, np.float32),
+        np.asarray(tri_e2, np.float32),
+        CLUSTER,
+        SUPER,
+    )
+    if sah is not None:
+        return _pack_cluster_scene_from_order(tri_v0, tri_e1, tri_e2, *sah)
+    return _build_cluster_scene_morton(tri_v0, tri_e1, tri_e2)
+
+
+def _pack_cluster_scene_from_order(
+    tri_v0, tri_e1, tri_e2, tri_order, cluster_aabb, super_aabb, n_clusters, n_super
+) -> ClusterScene:
+    v0 = np.asarray(tri_v0, np.float32)
+    e1 = np.asarray(tri_e1, np.float32)
+    e2 = np.asarray(tri_e2, np.float32)
+    t_pad = n_clusters * CLUSTER
+    valid = tri_order >= 0
+    safe = np.where(valid, tri_order, 0)
+
+    def col(a, j):
+        out = np.where(valid, a[safe, j], 0.0).astype(np.float32)
+        return jnp.asarray(out[:, None])
+
+    tri_cols = tuple(col(a, j) for a in (v0, e1, e2) for j in range(3))
+
+    def pack_aabb(boxes):
+        out = np.zeros((len(boxes), 8), np.float32)
+        out[:, :6] = boxes
+        return jnp.asarray(out)
+
+    plane = _plane_precompute(tri_cols)
+    return ClusterScene(
+        tri_cols=tri_cols,
+        cluster_aabb=pack_aabb(cluster_aabb),
+        super_aabb=pack_aabb(super_aabb),
+        tri_remap=jnp.asarray(np.where(valid, tri_order, 0).astype(np.int32)),
+        n_clusters=int(n_clusters),
+        n_super=int(n_super),
+        plane_mat=plane[0],
+        plane_c=plane[1],
+        plane_u0=plane[2],
+        plane_w0=plane[3],
+        cluster_order=_octant_orders(cluster_aabb),
+    )
+
+
+def _build_cluster_scene_morton(tri_v0, tri_e1, tri_e2) -> ClusterScene:
     from vkrt_tpu.bvh.lbvh import morton3d
 
     v0 = np.asarray(tri_v0, np.float32)
@@ -128,6 +196,8 @@ def build_cluster_scene(tri_v0, tri_e1, tri_e2) -> ClusterScene:
         out[:, 3:6] = mx
         return jnp.asarray(out)
 
+    plane = _plane_precompute(tri_cols)
+    aabb6 = np.concatenate([cmin, cmax], axis=1)
     return ClusterScene(
         tri_cols=tri_cols,
         cluster_aabb=pack_aabb(cmin, cmax),
@@ -135,6 +205,69 @@ def build_cluster_scene(tri_v0, tri_e1, tri_e2) -> ClusterScene:
         tri_remap=jnp.asarray(remap),
         n_clusters=n_clusters_pad,
         n_super=n_super,
+        plane_mat=plane[0],
+        plane_c=plane[1],
+        plane_u0=plane[2],
+        plane_w0=plane[3],
+        cluster_order=_octant_orders(aabb6),
+    )
+
+
+MM_GROUP = 32  # triangles per matmul group in the v2 kernel
+
+
+def _octant_orders(cluster_aabb: np.ndarray) -> jnp.ndarray:
+    """Front-to-back cluster visit order per direction octant.
+
+    For rays travelling in octant (sx, sy, sz), clusters sorted ascending by
+    the signed centroid projection sx*cx+sy*cy+sz*cz are met approximately
+    near-to-far, so the closest kernel's t_best prunes far clusters. Empty
+    (inverted-box) clusters sort last."""
+    aabb = np.asarray(cluster_aabb)
+    centroid = 0.5 * (aabb[:, :3] + aabb[:, 3:6])
+    empty = aabb[:, 0] > aabb[:, 3]
+    orders = np.zeros((8, len(aabb)), np.int32)
+    for oct_id in range(8):
+        sx = 1.0 if oct_id & 4 else -1.0
+        sy = 1.0 if oct_id & 2 else -1.0
+        sz = 1.0 if oct_id & 1 else -1.0
+        key = sx * centroid[:, 0] + sy * centroid[:, 1] + sz * centroid[:, 2]
+        key = np.where(empty, np.inf, key)
+        orders[oct_id] = np.argsort(key, kind="stable").astype(np.int32)
+    return jnp.asarray(orders)
+
+
+def _plane_precompute(tri_cols):
+    """Plane/barycentric precomputation from packed (T_pad, 1) columns."""
+    cols = [np.asarray(c)[:, 0] for c in tri_cols]
+    v0 = np.stack(cols[0:3], -1).astype(np.float64)
+    e1 = np.stack(cols[3:6], -1).astype(np.float64)
+    e2 = np.stack(cols[6:9], -1).astype(np.float64)
+    n = np.cross(e1, e2)
+    c = (n * v0).sum(-1)
+    d11 = (e1 * e1).sum(-1)
+    d22 = (e2 * e2).sum(-1)
+    d12 = (e1 * e2).sum(-1)
+    det = d11 * d22 - d12 * d12
+    inv = np.where(np.abs(det) > 1e-24, 1.0 / np.where(det == 0, 1, det), 0.0)
+    s1 = (d22[:, None] * e1 - d12[:, None] * e2) * inv[:, None]
+    s2 = (d11[:, None] * e2 - d12[:, None] * e1) * inv[:, None]
+    u0 = -(v0 * s1).sum(-1)
+    w0 = -(v0 * s2).sum(-1)
+    t_pad = len(v0)
+    n_groups = t_pad // MM_GROUP
+    mat = np.zeros((n_groups * 3 * MM_GROUP, 3), np.float32)
+    for g in range(n_groups):
+        s, e = g * MM_GROUP, (g + 1) * MM_GROUP
+        base = g * 3 * MM_GROUP
+        mat[base : base + MM_GROUP] = n[s:e]
+        mat[base + MM_GROUP : base + 2 * MM_GROUP] = s1[s:e]
+        mat[base + 2 * MM_GROUP : base + 3 * MM_GROUP] = s2[s:e]
+    return (
+        jnp.asarray(mat),
+        jnp.asarray(c[:, None], jnp.float32),
+        jnp.asarray(u0[:, None], jnp.float32),
+        jnp.asarray(w0[:, None], jnp.float32),
     )
 
 
@@ -206,7 +339,7 @@ def _closest_kernel(
     n_super: int,
     t_min: float,
     t_max: float,
-    super_ref,
+    order_ref,
     cluster_ref,
     *rest,
 ):
@@ -271,30 +404,28 @@ def _closest_kernel(
             u_out[row : row + 1, :] = u_row
             v_out[row : row + 1, :] = v_row
 
-    def super_body(s, _):
-        vote_s = jnp.any(
-            _slab_vote(super_ref, s, ox, oy, oz, ix, iy, iz, t_min, t_out[:])
+    # pick the block's dominant direction octant; the matching precomputed
+    # front-to-back cluster order lets the tightening t_best prune whole
+    # clusters behind the first hits (occlusion culling via the votes).
+    oct_id = (
+        jnp.where(jnp.sum(dx) >= 0.0, 4, 0)
+        + jnp.where(jnp.sum(dy) >= 0.0, 2, 0)
+        + jnp.where(jnp.sum(dz) >= 0.0, 1, 0)
+    )
+
+    def cluster_body(k, _):
+        c = order_ref[oct_id, k]
+        vote_c = jnp.any(
+            _slab_vote(cluster_ref, c, ox, oy, oz, ix, iy, iz, t_min, t_out[:])
         )
 
-        @pl.when(vote_s)
+        @pl.when(vote_c)
         def _():
-            def cluster_body(k, __):
-                c = s * SUPER + k
-                vote_c = jnp.any(
-                    _slab_vote(cluster_ref, c, ox, oy, oz, ix, iy, iz, t_min, t_out[:])
-                )
-
-                @pl.when(vote_c)
-                def _():
-                    cluster_work(c)
-
-                return 0
-
-            jax.lax.fori_loop(0, SUPER, cluster_body, 0)
+            cluster_work(c)
 
         return 0
 
-    jax.lax.fori_loop(0, n_super, super_body, 0)
+    jax.lax.fori_loop(0, n_super * SUPER, cluster_body, 0)
 
 
 def _any_kernel(
@@ -420,7 +551,7 @@ def _closest_call(cs: ClusterScene, orig, direction, cs_static, t_min, t_max, in
             jax.ShapeDtypeStruct((rows, LANES), jnp.float32),
         ],
         interpret=interpret,
-    )(cs.super_aabb, cs.cluster_aabb, *cs.tri_cols, *o_comps, *d_comps)
+    )(cs.cluster_order, cs.cluster_aabb, *cs.tri_cols, *o_comps, *d_comps)
     t, idx, u, v = (o.reshape(-1)[:n] for o in outs)
     hit = idx >= 0
     tri = jnp.take(cs.tri_remap, jnp.maximum(idx, 0))
