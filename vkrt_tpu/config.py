@@ -38,7 +38,13 @@ class RenderSettings:
     max_frames: int = 1               # accumulation limit (hello_vulkan.h:157)
     stop_at_max_frames: bool = False  # "Limit Max Frames" (hello_vulkan.h:156)
     use_denoiser: bool = False        # finishes the reference's disabled NRD path
-    backend: str = "auto"             # trace backend: auto|bruteforce|bvh
+    backend: str = "auto"             # trace backend: auto|bruteforce|bvh|pallas
+    # Extension (default off = reference-faithful): clamp path throughput
+    # weights to [0, 50]. The reference's GGX importance weight
+    # (gltf.glsl:98-109; BRDF*cos/pdf with pdf -> 0 as N.H -> 0 and
+    # cosTheta allowed negative) has unbounded two-sided tails that its
+    # one-sided firefly clamp (rgen:101) does not contain; this bounds them.
+    clamp_weights: bool = False
 
     def replace(self, **kw) -> "RenderSettings":
         return dataclasses.replace(self, **kw)

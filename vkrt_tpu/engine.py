@@ -76,6 +76,7 @@ class Engine:
                     height=self.height,
                     samples=s.samples,
                     depth=s.depth,
+                    clamp_weights=s.clamp_weights,
                 ),
                 static_argnames=(),
             )
@@ -92,6 +93,7 @@ class Engine:
                     use_ao=s.use_ao,
                     use_gi=s.use_gi,
                     use_denoiser=s.use_denoiser,
+                    clamp_weights=s.clamp_weights,
                 )
             )
 
@@ -116,6 +118,7 @@ class Engine:
                 or settings.use_ao != self.settings.use_ao
                 or settings.use_gi != self.settings.use_gi
                 or settings.use_denoiser != self.settings.use_denoiser
+                or settings.clamp_weights != self.settings.clamp_weights
                 or settings.backend != self.settings.backend
             )
             if settings.backend != self.settings.backend:

@@ -43,6 +43,7 @@ def hybrid_effects(
     use_shadows: bool,
     use_ao: bool,
     use_gi: bool,
+    clamp_weights: bool = False,
 ):
     """The raytraceHybrid.rgen main() body. Returns (color4, diff_rad_hitd,
     seed, rays)."""
@@ -130,6 +131,7 @@ def hybrid_effects(
             clear_color=jnp.zeros(4, dt),  # unused: d>0 misses get 0.01
             hitdist_weight=1.0,
             hitdist_accumulate=False,  # hybrid overwrites (rgen:257-263)
+            clamp_weights=clamp_weights,
         )
         seed = out.seed
         rays = out.rays_main + out.rays_shadow
@@ -161,6 +163,7 @@ def hybrid_frame(
     use_ao: bool,
     use_gi: bool,
     use_denoiser: bool,
+    clamp_weights: bool = False,
 ):
     """Full hybrid frame: G-buffer pass + RT effects + accumulation
     (main.cpp:506-561). Returns (gbuffer, new_accum, rays)."""
@@ -170,6 +173,7 @@ def hybrid_frame(
     new_accum, diff_rad_hitd, _, rays = hybrid_effects(
         scene, tracer, gbuf, cam, seed, frame, accum_rt,
         depth=depth, use_shadows=use_shadows, use_ao=use_ao, use_gi=use_gi,
+        clamp_weights=clamp_weights,
     )
     rays = rays + jnp.asarray(float(n), jnp.float32)  # primary G-buffer rays
     if use_denoiser and use_gi:

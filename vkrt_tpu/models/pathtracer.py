@@ -58,11 +58,14 @@ def bounce_chain(
     clear_color,
     hitdist_weight: float,
     hitdist_accumulate: bool,
+    clamp_weights: bool = False,
 ) -> BounceCarry:
     """Run the shared bounce loop (rgen:62-116 / raytraceHybrid.rgen:211-266).
 
     ``hitdist_accumulate``: path mode does ``hitDists += w*...`` (rgen:107),
     hybrid GI overwrites ``hitDists = ...`` (hybrid rgen:257).
+    ``clamp_weights``: opt-in extension bounding the path throughput (see
+    RenderSettings.clamp_weights).
     """
     clear3 = jnp.asarray(clear_color, carry.origin.dtype)[:3]
 
@@ -110,7 +113,10 @@ def bounce_chain(
         else:
             hit_dists = jnp.where(at_d1, hd_new, c.hit_dists)
 
-        cur_weight = c.cur_weight * jnp.where(miss[:, None], 1.0, bs.weight)
+        step_weight = bs.weight
+        if clamp_weights:
+            step_weight = jnp.clip(step_weight, 0.0, 50.0)
+        cur_weight = c.cur_weight * jnp.where(miss[:, None], 1.0, step_weight)
         # (curWeight *= prd.weight also runs on miss lanes in the GLSL, but
         # those lanes exit the loop and never contribute — skipping the stale
         # multiply is contribution-equivalent and avoids 0*inf NaNs.)
@@ -149,6 +155,7 @@ def trace_pixels(
     *,
     samples: int,
     depth: int,
+    clamp_weights: bool = False,
     pix=None,
     seeds=None,
 ) -> PathTraceResult:
@@ -194,6 +201,7 @@ def trace_pixels(
             clear_color=clear_color,
             hitdist_weight=1.0 / samples,
             hitdist_accumulate=True,
+            clamp_weights=clamp_weights,
         )
         return (
             out.seed,
@@ -233,6 +241,7 @@ def pathtrace_frame(
     height: int,
     samples: int,
     depth: int,
+    clamp_weights: bool = False,
 ):
     """One path-traced frame + accumulation (hello_vulkan.cpp:1423-1448).
 
@@ -240,6 +249,6 @@ def pathtrace_frame(
     """
     res = trace_pixels(
         scene, tracer, cam, width, height, frame, clear_color,
-        samples=samples, depth=depth,
+        samples=samples, depth=depth, clamp_weights=clamp_weights,
     )
     return accumulate(accum, res.radiance, frame), res.rays

@@ -345,7 +345,16 @@ def make_cornell_box() -> SceneArrays:
             roughness_factor=0.0,
             emissive_factor=np.array([10.0, 10.0, 10.0], np.float32),
         ),
-        gltf_mod.GltfMaterial(np.array([0.5, 0.5, 0.5, 1], np.float32)),
+        # boxes: diffuse-ish. NOTE metallic=1 + the reference's GGX
+        # weight math (gltf.glsl:98-109, pdf can approach 0 with cosTheta
+        # < 0) produces unbounded negative fireflies — faithful to the
+        # reference but poison for convergence statistics, so the
+        # procedural test scene stays away from that corner.
+        gltf_mod.GltfMaterial(
+            np.array([0.5, 0.5, 0.5, 1], np.float32),
+            metallic_factor=0.0,
+            roughness_factor=0.9,
+        ),
     ]
     tris, mat_ids = [], []
 
