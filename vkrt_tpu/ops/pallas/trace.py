@@ -122,7 +122,7 @@ def _pack_cluster_scene_from_order(
         plane_c=plane[1],
         plane_u0=plane[2],
         plane_w0=plane[3],
-        cluster_order=_octant_orders(cluster_aabb),
+        cluster_order=_octant_orders(cluster_aabb, super_aabb),
     )
 
 
@@ -198,6 +198,7 @@ def _build_cluster_scene_morton(tri_v0, tri_e1, tri_e2) -> ClusterScene:
 
     plane = _plane_precompute(tri_cols)
     aabb6 = np.concatenate([cmin, cmax], axis=1)
+    saabb6 = np.concatenate([smin, smax], axis=1)
     return ClusterScene(
         tri_cols=tri_cols,
         cluster_aabb=pack_aabb(cmin, cmax),
@@ -209,32 +210,46 @@ def _build_cluster_scene_morton(tri_v0, tri_e1, tri_e2) -> ClusterScene:
         plane_c=plane[1],
         plane_u0=plane[2],
         plane_w0=plane[3],
-        cluster_order=_octant_orders(aabb6),
+        cluster_order=_octant_orders(aabb6, saabb6),
     )
 
 
 MM_GROUP = 32  # triangles per matmul group in the v2 kernel
 
 
-def _octant_orders(cluster_aabb: np.ndarray) -> jnp.ndarray:
-    """Front-to-back cluster visit order per direction octant.
+def _octant_orders(cluster_aabb: np.ndarray, super_aabb: np.ndarray) -> jnp.ndarray:
+    """Hierarchical front-to-back visit order per direction octant.
 
-    For rays travelling in octant (sx, sy, sz), clusters sorted ascending by
-    the signed centroid projection sx*cx+sy*cy+sz*cz are met approximately
-    near-to-far, so the closest kernel's t_best prunes far clusters. Empty
-    (inverted-box) clusters sort last."""
-    aabb = np.asarray(cluster_aabb)
-    centroid = 0.5 * (aabb[:, :3] + aabb[:, 3:6])
-    empty = aabb[:, 0] > aabb[:, 3]
-    orders = np.zeros((8, len(aabb)), np.int32)
-    for oct_id in range(8):
+    For rays travelling in octant (sx, sy, sz), boxes sorted ascending by the
+    signed centroid projection are met approximately near-to-far, so the
+    closest kernel's tightening t_best occlusion-prunes far boxes via the
+    votes. Returns (8, n_super, 1 + SUPER) int32: per octant, supers in
+    front-to-back order, each row = [super_id, its SUPER clusters ordered
+    front-to-back]. Empty (inverted) boxes sort last.
+    """
+
+    def keys(aabb, oct_id):
+        aabb = np.asarray(aabb)
+        centroid = 0.5 * (aabb[:, :3] + aabb[:, 3:6])
+        empty = aabb[:, 0] > aabb[:, 3]
         sx = 1.0 if oct_id & 4 else -1.0
         sy = 1.0 if oct_id & 2 else -1.0
         sz = 1.0 if oct_id & 1 else -1.0
-        key = sx * centroid[:, 0] + sy * centroid[:, 1] + sz * centroid[:, 2]
-        key = np.where(empty, np.inf, key)
-        orders[oct_id] = np.argsort(key, kind="stable").astype(np.int32)
-    return jnp.asarray(orders)
+        k = sx * centroid[:, 0] + sy * centroid[:, 1] + sz * centroid[:, 2]
+        return np.where(empty | ~np.isfinite(k), np.inf, k)
+
+    n_super = len(super_aabb)
+    out = np.zeros((8, n_super, 1 + SUPER), np.int32)
+    for oct_id in range(8):
+        ks = keys(super_aabb, oct_id)
+        s_order = np.argsort(ks, kind="stable")
+        kc = keys(cluster_aabb, oct_id)
+        for row, s in enumerate(s_order):
+            cids = np.arange(s * SUPER, (s + 1) * SUPER)
+            c_order = cids[np.argsort(kc[cids], kind="stable")]
+            out[oct_id, row, 0] = s
+            out[oct_id, row, 1:] = c_order
+    return jnp.asarray(out)
 
 
 def _plane_precompute(tri_cols):
@@ -340,6 +355,7 @@ def _closest_kernel(
     t_min: float,
     t_max: float,
     order_ref,
+    super_ref,
     cluster_ref,
     *rest,
 ):
@@ -405,27 +421,39 @@ def _closest_kernel(
             v_out[row : row + 1, :] = v_row
 
     # pick the block's dominant direction octant; the matching precomputed
-    # front-to-back cluster order lets the tightening t_best prune whole
-    # clusters behind the first hits (occlusion culling via the votes).
+    # front-to-back super/cluster order lets the tightening t_best prune
+    # whole subtrees behind the first hits (occlusion culling via the votes).
     oct_id = (
         jnp.where(jnp.sum(dx) >= 0.0, 4, 0)
         + jnp.where(jnp.sum(dy) >= 0.0, 2, 0)
         + jnp.where(jnp.sum(dz) >= 0.0, 1, 0)
     )
 
-    def cluster_body(k, _):
-        c = order_ref[oct_id, k]
-        vote_c = jnp.any(
-            _slab_vote(cluster_ref, c, ox, oy, oz, ix, iy, iz, t_min, t_out[:])
+    def super_body(si, _):
+        s = order_ref[oct_id, si, 0]
+        vote_s = jnp.any(
+            _slab_vote(super_ref, s, ox, oy, oz, ix, iy, iz, t_min, t_out[:])
         )
 
-        @pl.when(vote_c)
+        @pl.when(vote_s)
         def _():
-            cluster_work(c)
+            def cluster_body(k, __):
+                c = order_ref[oct_id, si, 1 + k]
+                vote_c = jnp.any(
+                    _slab_vote(cluster_ref, c, ox, oy, oz, ix, iy, iz, t_min, t_out[:])
+                )
+
+                @pl.when(vote_c)
+                def _():
+                    cluster_work(c)
+
+                return 0
+
+            jax.lax.fori_loop(0, SUPER, cluster_body, 0)
 
         return 0
 
-    jax.lax.fori_loop(0, n_super * SUPER, cluster_body, 0)
+    jax.lax.fori_loop(0, n_super, super_body, 0)
 
 
 def _any_kernel(
@@ -540,6 +568,7 @@ def _closest_call(cs: ClusterScene, orig, direction, cs_static, t_min, t_max, in
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             *[pl.BlockSpec(memory_space=pltpu.VMEM)] * 9,
             *[ray_spec] * 6,
         ],
@@ -551,7 +580,7 @@ def _closest_call(cs: ClusterScene, orig, direction, cs_static, t_min, t_max, in
             jax.ShapeDtypeStruct((rows, LANES), jnp.float32),
         ],
         interpret=interpret,
-    )(cs.cluster_order, cs.cluster_aabb, *cs.tri_cols, *o_comps, *d_comps)
+    )(cs.cluster_order, cs.super_aabb, cs.cluster_aabb, *cs.tri_cols, *o_comps, *d_comps)
     t, idx, u, v = (o.reshape(-1)[:n] for o in outs)
     hit = idx >= 0
     tri = jnp.take(cs.tri_remap, jnp.maximum(idx, 0))
