@@ -40,7 +40,7 @@ from jax.experimental.pallas import tpu as pltpu
 CLUSTER = 64          # triangles per cluster
 GROUP = 8             # triangles per inner vector step (sublane dim)
 SUPER = 16            # clusters per supercluster
-BLOCK_ROWS = 8        # ray rows per program -> 8*128 = 1024 rays
+BLOCK_ROWS = 8        # ray rows per program -> 8*128 = 1024 rays (min sublane tile)
 LANES = 128
 INF = 3e38  # python float: jnp scalars would be captured as kernel constants
 _DET_EPS = 1e-9
