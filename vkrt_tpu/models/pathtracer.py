@@ -135,6 +135,14 @@ def bounce_chain(
             rays_shadow=c.rays_shadow + jnp.sum(do_shadow.astype(jnp.float32)),
         )
 
+    # Static unroll for typical depths: flattening the bounce loop removes a
+    # while-level around the trace kernels' lax.map chunks — XLA's scoped-
+    # VMEM placement heuristics mis-size buffers under deep loop nests (it
+    # tripped compile-time VMEM OOM) — and lets shading fuse across bounces.
+    if depth - start_depth <= 8:
+        for d in range(start_depth, depth):
+            carry = body(d, carry)
+        return carry
     return jax.lax.fori_loop(start_depth, depth, body, carry)
 
 
@@ -216,7 +224,15 @@ def trace_pixels(
         jnp.zeros((n,), dt),
         jnp.asarray(0.0, jnp.float32),
     )
-    _, hit_values, hit_dists, rays = jax.lax.fori_loop(0, samples, sample_body, init)
+    if samples <= 4:  # static unroll (see bounce_chain note)
+        acc = init
+        for s in range(samples):
+            acc = sample_body(s, acc)
+        _, hit_values, hit_dists, rays = acc
+    else:
+        _, hit_values, hit_dists, rays = jax.lax.fori_loop(
+            0, samples, sample_body, init
+        )
     return PathTraceResult(
         radiance=hit_values / samples, hit_dists=hit_dists, rays=rays
     )

@@ -529,6 +529,12 @@ def _any_kernel(
     jax.lax.fori_loop(0, n_super, super_body, 0)
 
 
+# Rows of 128 rays per lax.map chunk. Chunking bounds the scoped-VMEM
+# footprint XLA assigns to the kernel's operands/outputs when the call sits
+# inside the frame loop (whole-frame buffers tripped compile-time VMEM OOM).
+CHUNK_ROWS = 1200
+
+
 def _pad_rays(orig, direction):
     n = orig.shape[0]
     block = BLOCK_ROWS * LANES
@@ -550,37 +556,53 @@ def _pad_rays(orig, direction):
     )
 
 
+def _chunk_rows(comps, rows):
+    """Reshape (rows, LANES) component arrays to (n_chunks, CHUNK_ROWS, LANES),
+    zero-padding rows to a CHUNK_ROWS multiple (pad rays have dir=0 and are
+    vote-skipped by the kernels)."""
+    pad = (-rows) % CHUNK_ROWS
+    out = []
+    for a in comps:
+        if pad:
+            a = jnp.concatenate([a, jnp.zeros((pad, LANES), a.dtype)])
+        out.append(a.reshape(-1, CHUNK_ROWS, LANES))
+    return out, rows + pad
+
+
 @functools.partial(
     jax.jit, static_argnames=("cs_static", "t_min", "t_max", "interpret")
 )
 def _closest_call(cs: ClusterScene, orig, direction, cs_static, t_min, t_max, interpret):
     n_clusters, n_super = cs_static
     (o_comps, d_comps, n, rows) = _pad_rays(orig, direction)
-    n_blocks = rows // BLOCK_ROWS
+    comps, rows_pad = _chunk_rows([*o_comps, *d_comps], rows)
     ray_spec = pl.BlockSpec(
         (BLOCK_ROWS, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
-    out_spec = ray_spec
     kernel = functools.partial(_closest_kernel, n_super, t_min, t_max)
-    outs = pl.pallas_call(
-        kernel,
-        grid=(n_blocks,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            *[pl.BlockSpec(memory_space=pltpu.VMEM)] * 9,
-            *[ray_spec] * 6,
-        ],
-        out_specs=[out_spec] * 4,
-        out_shape=[
-            jax.ShapeDtypeStruct((rows, LANES), jnp.float32),
-            jax.ShapeDtypeStruct((rows, LANES), jnp.int32),
-            jax.ShapeDtypeStruct((rows, LANES), jnp.float32),
-            jax.ShapeDtypeStruct((rows, LANES), jnp.float32),
-        ],
-        interpret=interpret,
-    )(cs.cluster_order, cs.super_aabb, cs.cluster_aabb, *cs.tri_cols, *o_comps, *d_comps)
+
+    def chunk_body(chunk):
+        return pl.pallas_call(
+            kernel,
+            grid=(CHUNK_ROWS // BLOCK_ROWS,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                *[pl.BlockSpec(memory_space=pltpu.VMEM)] * 9,
+                *[ray_spec] * 6,
+            ],
+            out_specs=[ray_spec] * 4,
+            out_shape=[
+                jax.ShapeDtypeStruct((CHUNK_ROWS, LANES), jnp.float32),
+                jax.ShapeDtypeStruct((CHUNK_ROWS, LANES), jnp.int32),
+                jax.ShapeDtypeStruct((CHUNK_ROWS, LANES), jnp.float32),
+                jax.ShapeDtypeStruct((CHUNK_ROWS, LANES), jnp.float32),
+            ],
+            interpret=interpret,
+        )(cs.cluster_order, cs.super_aabb, cs.cluster_aabb, *cs.tri_cols, *chunk)
+
+    outs = jax.lax.map(chunk_body, comps)
     t, idx, u, v = (o.reshape(-1)[:n] for o in outs)
     hit = idx >= 0
     tri = jnp.take(cs.tri_remap, jnp.maximum(idx, 0))
@@ -597,24 +619,33 @@ def _any_call(cs: ClusterScene, orig, direction, t_max_per_ray, cs_static, t_min
     if n_pad:
         tmax = jnp.concatenate([tmax, jnp.full((n_pad,), -1.0, tmax.dtype)])
     tmax2d = tmax.reshape(rows, LANES)
-    n_blocks = rows // BLOCK_ROWS
+    # pad tmax chunks with -1 (guaranteed miss), rays with 0 (vote-skipped)
+    pad = (-rows) % CHUNK_ROWS
+    if pad:
+        tmax2d = jnp.concatenate([tmax2d, jnp.full((pad, LANES), -1.0, tmax2d.dtype)])
+    comps, rows_pad = _chunk_rows([*o_comps, *d_comps], rows)
+    comps.append(tmax2d.reshape(-1, CHUNK_ROWS, LANES))
     ray_spec = pl.BlockSpec(
         (BLOCK_ROWS, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
     kernel = functools.partial(_any_kernel, n_super, t_min)
-    out = pl.pallas_call(
-        kernel,
-        grid=(n_blocks,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            *[pl.BlockSpec(memory_space=pltpu.VMEM)] * 9,
-            *[ray_spec] * 7,
-        ],
-        out_specs=ray_spec,
-        out_shape=jax.ShapeDtypeStruct((rows, LANES), jnp.int32),
-        interpret=interpret,
-    )(cs.super_aabb, cs.cluster_aabb, *cs.tri_cols, *o_comps, *d_comps, tmax2d)
+
+    def chunk_body(chunk):
+        return pl.pallas_call(
+            kernel,
+            grid=(CHUNK_ROWS // BLOCK_ROWS,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                *[pl.BlockSpec(memory_space=pltpu.VMEM)] * 9,
+                *[ray_spec] * 7,
+            ],
+            out_specs=ray_spec,
+            out_shape=jax.ShapeDtypeStruct((CHUNK_ROWS, LANES), jnp.int32),
+            interpret=interpret,
+        )(cs.super_aabb, cs.cluster_aabb, *cs.tri_cols, *chunk)
+
+    out = jax.lax.map(chunk_body, comps)
     return out.reshape(-1)[:n] > 0
 
 
