@@ -1,0 +1,121 @@
+"""Full benchmark suite: the five BASELINE.json configs.
+
+The headline driver metric stays in /bench.py (one JSON line); this suite
+measures every config the baseline asks for:
+
+1. Cornell path trace, 1 spp / 1 bounce, diffuse NEE (reference image)
+2. Cornell multi-bounce GI with progressive accumulation
+3. Sponza-class full path trace — the Sponza asset is not shipped
+   (config.json references it but the reference repo only carries Cornell),
+   so the procedural city scene stands in at a comparable triangle count
+4. Hybrid: G-buffer pass + RT shadows / AO / GI
+5. Fly-through with per-frame camera motion + denoiser (fireplace/suntemple
+   stand-in), i.e. accumulation resets every frame
+
+Usage: python -m benchmarks.suite [--width W --height H --frames N]
+Prints one JSON line per config.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def run_engine_bench(name, scene, settings, width, height, frames, camera_fn=None):
+    import jax
+
+    from vkrt_tpu.engine import Engine
+    from vkrt_tpu.utils.camera import Camera
+
+    eng = Engine(scene, width, height, settings,
+                 camera=camera_fn(0.0) if camera_fn else Camera())
+    # compile + warm
+    out = eng.render_frame()
+    jax.block_until_ready(out)
+    _ = jax.device_get(out)
+    eng.reset_frame()
+    eng.total_rays = 0.0
+
+    t0 = time.time()
+    for f in range(frames):
+        if camera_fn is not None:
+            eng.camera = camera_fn(f / max(frames, 1))
+        out = eng.render_frame()
+    _ = jax.device_get(out)
+    dt = time.time() - t0
+    rec = {
+        "config": name,
+        "ms_per_frame": round(dt / frames * 1e3, 2),
+        "fps": round(frames / dt, 2),
+        "mrays_per_s": round(eng.total_rays / dt / 1e6, 2),
+        "frames": frames,
+        "resolution": f"{width}x{height}",
+    }
+    print(json.dumps(rec), flush=True)
+    return rec
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--width", type=int, default=1280)
+    p.add_argument("--height", type=int, default=720)
+    p.add_argument("--frames", type=int, default=8)
+    p.add_argument("--configs", type=str, default="1,2,3,4,5")
+    args = p.parse_args(argv)
+
+    from vkrt_tpu.utils.jaxcache import enable
+
+    enable()
+
+    from vkrt_tpu.config import RenderSettings
+    from vkrt_tpu.scene import load_cornell, make_city
+    from vkrt_tpu.utils.camera import orbit_camera
+
+    w, h, n = args.width, args.height, args.frames
+    wanted = set(args.configs.split(","))
+    results = []
+
+    if "1" in wanted or "2" in wanted:
+        cornell = load_cornell()
+        if "1" in wanted:
+            results.append(run_engine_bench(
+                "cornell_1spp_1bounce", cornell,
+                RenderSettings(rt_mode=1, samples=1, depth=1), w, h, n,
+            ))
+        if "2" in wanted:
+            results.append(run_engine_bench(
+                "cornell_multibounce_accum", cornell,
+                RenderSettings(rt_mode=1, samples=1, depth=5), w, h, n,
+            ))
+    if "3" in wanted or "4" in wanted or "5" in wanted:
+        city = make_city(grid=24)  # ~40k tris Sponza-class substitute
+        print(f"[suite] city scene: {city.num_tris} tris", file=sys.stderr)
+        if "3" in wanted:
+            results.append(run_engine_bench(
+                "city_full_pathtrace", city,
+                RenderSettings(rt_mode=1, samples=1, depth=4), w, h, n,
+                camera_fn=lambda t: orbit_camera(0.12, radius=30, height=10),
+            ))
+        if "4" in wanted:
+            results.append(run_engine_bench(
+                "hybrid_shadows_ao_gi", city,
+                RenderSettings(rt_mode=0, use_shadows=True, use_ao=True, use_gi=True),
+                w, h, n,
+                camera_fn=lambda t: orbit_camera(0.12, radius=30, height=10),
+            ))
+        if "5" in wanted:
+            results.append(run_engine_bench(
+                "city_flythrough_denoised", city,
+                RenderSettings(rt_mode=0, use_shadows=True, use_ao=True,
+                               use_gi=True, use_denoiser=True),
+                w, h, n,
+                camera_fn=lambda t: orbit_camera(t, radius=30, height=10),
+            ))
+    return results
+
+
+if __name__ == "__main__":
+    main()

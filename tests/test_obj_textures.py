@@ -1,0 +1,165 @@
+"""OBJ loader parity + texture sampling path tests."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from vkrt_tpu.ops.texture import build_mip_pyramid, sample_texture
+from vkrt_tpu.utils.obj import load_obj_scene, parse_obj
+
+OBJ = """
+mtllib test.mtl
+v 0 0 0
+v 1 0 0
+v 0 1 0
+v 1 1 0
+vn 0 0 1
+vt 0 0
+vt 1 0
+vt 0 1
+usemtl red
+f 1/1/1 2/2/1 3/3/1
+usemtl blue
+f -3/-3/-1 -2/-2/-1 -1/-1/-1
+f 1 2 4 3
+"""
+
+MTL = """
+newmtl red
+Kd 1 0 0
+Ns 50
+newmtl blue
+Kd 0 0 1
+Ke 0.5 0.5 0.5
+"""
+
+
+def _write(tmp_path):
+    (tmp_path / "test.mtl").write_text(MTL)
+    p = tmp_path / "scene.obj"
+    p.write_text(OBJ)
+    return str(p)
+
+
+def test_obj_parse(tmp_path):
+    doc = parse_obj(_write(tmp_path))
+    prim = doc.primitives[0]
+    # 2 single triangles + 1 quad fan-triangulated into 2 = 4 tris
+    assert len(prim.indices) == 4 * 3
+    assert len(doc.materials) == 2
+    np.testing.assert_allclose(doc.materials[0].base_color_factor[:3], [1, 0, 0])
+    np.testing.assert_allclose(doc.materials[1].emissive_factor, 0.5)
+
+
+def test_obj_scene_build(tmp_path):
+    sc = load_obj_scene(_write(tmp_path))
+    assert sc.num_tris % 64 == 0
+    mats = np.asarray(sc.tri_mat[:4])
+    assert mats[0] == 0 and mats[1] == 1  # per-face materials
+    # fallback light rig injected (no lights in OBJ)
+    assert sc.num_lights == 8
+
+
+def test_bilinear_sampling_exact_texels():
+    # 2x2 texture: distinct corner colors; sampling at texel centers
+    tex = np.zeros((1, 2, 2, 4), np.float32)
+    tex[0, 0, 0] = [1, 0, 0, 1]
+    tex[0, 0, 1] = [0, 1, 0, 1]
+    tex[0, 1, 0] = [0, 0, 1, 1]
+    tex[0, 1, 1] = [1, 1, 0, 1]
+    size = jnp.asarray([[2, 2]], jnp.int32)
+    uv = jnp.asarray([[0.25, 0.25], [0.75, 0.25], [0.25, 0.75], [0.75, 0.75]])
+    idx = jnp.zeros(4, jnp.int32)
+    out = np.asarray(sample_texture(jnp.asarray(tex), size, idx, uv))
+    np.testing.assert_allclose(out[0], [1, 0, 0, 1], atol=1e-6)
+    np.testing.assert_allclose(out[1], [0, 1, 0, 1], atol=1e-6)
+    np.testing.assert_allclose(out[2], [0, 0, 1, 1], atol=1e-6)
+    np.testing.assert_allclose(out[3], [1, 1, 0, 1], atol=1e-6)
+
+
+def test_bilinear_interpolates_and_wraps():
+    tex = np.zeros((1, 1, 2, 4), np.float32)
+    tex[0, 0, 0] = [0, 0, 0, 1]
+    tex[0, 0, 1] = [1, 1, 1, 1]
+    size = jnp.asarray([[2, 1]], jnp.int32)
+    mid = np.asarray(
+        sample_texture(jnp.asarray(tex), size, jnp.zeros(1, jnp.int32),
+                       jnp.asarray([[0.5, 0.5]]))
+    )
+    np.testing.assert_allclose(mid[0, :3], 0.5, atol=1e-6)
+    # u wraps: uv 1.25 == 0.25
+    a = sample_texture(jnp.asarray(tex), size, jnp.zeros(1, jnp.int32),
+                       jnp.asarray([[1.25, 0.5]]))
+    b = sample_texture(jnp.asarray(tex), size, jnp.zeros(1, jnp.int32),
+                       jnp.asarray([[0.25, 0.5]]))
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_missing_texture_returns_white():
+    tex = jnp.zeros((1, 1, 1, 4))
+    size = jnp.asarray([[1, 1]], jnp.int32)
+    out = np.asarray(
+        sample_texture(tex, size, jnp.asarray([-1]), jnp.asarray([[0.3, 0.7]]))
+    )
+    np.testing.assert_allclose(out, 1.0)
+
+
+def test_mip_pyramid():
+    img = np.random.default_rng(0).random((8, 4, 4)).astype(np.float32)
+    levels = build_mip_pyramid(img)
+    assert [l.shape[:2] for l in levels] == [(8, 4), (4, 2), (2, 1), (1, 1)]
+    np.testing.assert_allclose(levels[-1][0, 0], img.mean(axis=(0, 1)), rtol=1e-5)
+
+
+def test_textured_scene_renders():
+    """End-to-end: a textured quad lights up with the texture's color."""
+    import jax.numpy as jnp
+
+    from vkrt_tpu.scene import build_scene
+    from vkrt_tpu.utils import gltf as gltf_mod
+    from vkrt_tpu.config import RenderSettings
+    from vkrt_tpu.engine import Engine
+    from vkrt_tpu.utils.camera import Camera
+
+    # checkerboard texture
+    img = np.zeros((8, 8, 4), np.uint8)
+    img[::2, ::2] = [255, 0, 0, 255]
+    img[1::2, 1::2] = [255, 0, 0, 255]
+    img[img[..., 3] == 0] = [0, 255, 0, 255]
+    quad = np.asarray(
+        [[-2, -2, 0], [2, -2, 0], [2, 2, 0], [-2, 2, 0]], np.float32
+    )
+    doc = gltf_mod.GltfDocument(
+        primitives=[
+            gltf_mod.GltfPrimitiveInstance(
+                positions=quad,
+                indices=np.asarray([0, 1, 2, 0, 2, 3], np.uint32),
+                normals=np.tile([0, 0, 1.0], (4, 1)).astype(np.float32),
+                tangents=None,
+                uvs=np.asarray([[0, 0], [1, 0], [1, 1], [0, 1]], np.float32),
+                material=0,
+                world_matrix=np.eye(4),
+            )
+        ],
+        materials=[
+            gltf_mod.GltfMaterial(
+                base_color_factor=np.ones(4, np.float32),
+                base_color_texture=0,
+                metallic_factor=0.0,
+            )
+        ],
+        lights=[
+            gltf_mod.GltfLight(np.asarray([0, 0, 5.0], np.float32),
+                               np.ones(3, np.float32), 50.0, 0)
+        ],
+        images=[gltf_mod.GltfImage(img)],
+    )
+    scene = build_scene(doc)
+    e = Engine(scene, 32, 32, RenderSettings(rt_mode=0, use_ao=False),
+               Camera(eye=(0, 0, 6)))
+    out = np.asarray(e.render_frame()).reshape(32, 32, 3)
+    center = out[8:24, 8:24]
+    assert center[..., 0].max() > 0.05  # red squares lit
+    assert center[..., 1].max() > 0.05  # green squares lit
+    # red and green dominate their own squares (texture actually sampled)
+    assert (center[..., 0] > center[..., 1]).any()
+    assert (center[..., 1] > center[..., 0]).any()

@@ -68,9 +68,13 @@ def build_mip_pyramid(image: np.ndarray):
     levels = [np.asarray(image, np.float32)]
     cur = levels[0]
     while max(cur.shape[0], cur.shape[1]) > 1:
-        h = max(cur.shape[0] // 2, 1)
-        w = max(cur.shape[1] // 2, 1)
-        nxt = cur[: h * 2, : w * 2].reshape(h, 2, w, 2, -1).mean(axis=(1, 3))
+        nxt = cur
+        if nxt.shape[0] > 1:
+            h = nxt.shape[0] // 2
+            nxt = 0.5 * (nxt[0 : 2 * h : 2] + nxt[1 : 2 * h : 2])
+        if nxt.shape[1] > 1:
+            w = nxt.shape[1] // 2
+            nxt = 0.5 * (nxt[:, 0 : 2 * w : 2] + nxt[:, 1 : 2 * w : 2])
         levels.append(nxt.astype(np.float32))
         cur = nxt
     return levels

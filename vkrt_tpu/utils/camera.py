@@ -55,6 +55,20 @@ class CameraMatrices(NamedTuple):
     proj_inverse: jnp.ndarray
 
 
+def orbit_camera(t: float, center=(0.0, 0.0, 0.0), radius: float = 18.0,
+                 height: float = 6.0, fov_deg: float = 60.0) -> Camera:
+    """Fly-through camera path: orbit around ``center`` at parameter t in
+    [0, 1) — the headless stand-in for CameraManip mouse navigation, used by
+    the fly-through benchmark configs (BASELINE.json config 5)."""
+    ang = 2.0 * math.pi * t
+    eye = (
+        center[0] + radius * math.sin(ang),
+        center[1] + height,
+        center[2] + radius * math.cos(ang),
+    )
+    return Camera(eye=eye, center=tuple(center), fov_deg=fov_deg)
+
+
 def look_at(eye, center, up) -> np.ndarray:
     """Right-handed GL-style view matrix (camera looks down -Z)."""
     eye = np.asarray(eye, np.float64)
