@@ -18,7 +18,7 @@ threads state and implements the reset rules:
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional, Tuple
+from typing import Optional
 
 import numpy as np
 import jax

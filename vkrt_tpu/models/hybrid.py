@@ -20,7 +20,6 @@ import jax.numpy as jnp
 from vkrt_tpu.models.gbuffer import GBuffer, gbuffer_pass
 from vkrt_tpu.models.pathtracer import BounceCarry, accumulate, bounce_chain
 from vkrt_tpu.ops import nrd
-from vkrt_tpu.ops.intersect import T_MIN
 from vkrt_tpu.ops.rng import rnd, seed_pixels
 from vkrt_tpu.ops.sampling import create_coordinate_system, sampling_hemisphere
 from vkrt_tpu.utils.smath import dot, length, normalize, reflect

@@ -582,7 +582,7 @@ def _closest_call(cs: ClusterScene, orig, direction, cs_static, t_min, t_max, in
     kernel = functools.partial(_closest_kernel, n_super, t_min, t_max)
 
     def chunk_body(chunk):
-        return pl.pallas_call(
+        out = pl.pallas_call(
             kernel,
             grid=(CHUNK_ROWS // BLOCK_ROWS,),
             in_specs=[
@@ -601,6 +601,9 @@ def _closest_call(cs: ClusterScene, orig, direction, cs_static, t_min, t_max, in
             ],
             interpret=interpret,
         )(cs.cluster_order, cs.super_aabb, cs.cluster_aabb, *cs.tri_cols, *chunk)
+        # barrier: stop XLA from fusing/holding the frame-sized outputs in
+        # scoped VMEM (repeated compile-time VMEM OOMs without it)
+        return jax.lax.optimization_barrier(out)
 
     outs = jax.lax.map(chunk_body, comps)
     t, idx, u, v = (o.reshape(-1)[:n] for o in outs)
@@ -631,7 +634,7 @@ def _any_call(cs: ClusterScene, orig, direction, t_max_per_ray, cs_static, t_min
     kernel = functools.partial(_any_kernel, n_super, t_min)
 
     def chunk_body(chunk):
-        return pl.pallas_call(
+        out = pl.pallas_call(
             kernel,
             grid=(CHUNK_ROWS // BLOCK_ROWS,),
             in_specs=[
@@ -644,6 +647,7 @@ def _any_call(cs: ClusterScene, orig, direction, t_max_per_ray, cs_static, t_min
             out_shape=jax.ShapeDtypeStruct((CHUNK_ROWS, LANES), jnp.int32),
             interpret=interpret,
         )(cs.super_aabb, cs.cluster_aabb, *cs.tri_cols, *chunk)
+        return jax.lax.optimization_barrier(out)
 
     out = jax.lax.map(chunk_body, comps)
     return out.reshape(-1)[:n] > 0

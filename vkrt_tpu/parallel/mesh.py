@@ -20,8 +20,6 @@ spp axis per frame and nothing on the tile axis.
 
 from __future__ import annotations
 
-import math
-
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 

@@ -14,8 +14,6 @@ mesh reproduces the unsharded image bit-for-bit.
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P

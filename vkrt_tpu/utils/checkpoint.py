@@ -16,8 +16,6 @@ import dataclasses
 import hashlib
 import json
 import os
-from typing import Optional
-
 import numpy as np
 import jax.numpy as jnp
 

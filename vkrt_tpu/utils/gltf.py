@@ -21,7 +21,7 @@ import dataclasses
 import json
 import os
 import struct
-from typing import Dict, List, Optional, Tuple
+from typing import List, Optional
 
 import numpy as np
 

@@ -15,7 +15,7 @@ _DEFAULT_DIR = os.path.expanduser("~/.cache/vkrt_tpu_xla")
 # XLA places the trace kernels' frame-sized outputs in scoped VMEM when they
 # sit inside the frame loop; the default 16MB scoped limit then OOMs at
 # compile time. Must be set before the TPU backend initializes.
-_SCOPED_VMEM = "--xla_tpu_scoped_vmem_limit_kib=98304"
+_SCOPED_VMEM = "--xla_tpu_scoped_vmem_limit_kib=122880"
 
 
 def _extend_libtpu_args() -> None:
