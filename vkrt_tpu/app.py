@@ -55,6 +55,11 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--eye", type=float, nargs=3, default=None)
     p.add_argument("--lookat", type=float, nargs=3, default=None)
     p.add_argument("--fov", type=float, default=60.0)
+    p.add_argument("--orbit", action="store_true",
+                   help="fly-through: orbit the camera over the frames and "
+                        "write a PNG per frame (out name gets _NNNN suffix)")
+    p.add_argument("--orbit-radius", type=float, default=18.0)
+    p.add_argument("--orbit-height", type=float, default=6.0)
     p.add_argument("--out", default="out.png")
     p.add_argument("--procedural", choices=["cornell", "city"], default=None,
                    help="use a procedural scene instead of a file")
@@ -137,16 +142,29 @@ def main(argv=None) -> int:
         ok = checkpoint.restore(engine, args.load_state)
         print(f"resume from {args.load_state}: {'ok, frame ' + str(engine.frame) if ok else 'rejected'}")
 
+    from vkrt_tpu.utils.camera import orbit_camera
+
     stats = FrameStats()
     t0 = time.time()
     out = None
     with device_trace(args.trace_dir):
-        for _ in range(args.frames):
+        for f in range(args.frames):
+            if args.orbit:
+                engine.camera = orbit_camera(
+                    f / max(args.frames, 1),
+                    center=tuple(args.lookat) if args.lookat else (0, 0, 0),
+                    radius=args.orbit_radius,
+                    height=args.orbit_height,
+                    fov_deg=args.fov,
+                )
             rays_before = engine.total_rays
             with timed_frame(stats, block=None):
                 out = engine.render_frame()
                 out.block_until_ready()
             stats.rays[-1] = engine.total_rays - rays_before
+            if args.orbit:
+                base, ext = os.path.splitext(args.out)
+                write_png(f"{base}_{f:04d}{ext}", to_u8_image(out, width, height))
     dt = time.time() - t0
     img = to_u8_image(out, width, height)
     mrays = engine.total_rays / dt / 1e6 if dt > 0 else 0.0
