@@ -156,9 +156,12 @@ def sample_bsdf(scene, surf: SurfaceSample, ray_dir, seed, emit_gate) -> BsdfSam
     light_dist = length(ldir)
     l_nee = ldir / jnp.maximum(light_dist[:, None], 1e-20)
 
+    # directLight -> computePBR_BRDF re-fetches the *unclamped* material
+    # values from the material/textures (gltf.glsl:111-115), so NEE sees raw
+    # metallic/roughness while the sampled lobes below use the clamped ones.
     brdf_nee, li, cos_nee = brdf_ops.direct_light(
         lpos, lcol, lint, ltype,
-        surf.world_pos, nrm, v, surf.base_color, metal_c, rough_c,
+        surf.world_pos, nrm, v, surf.base_color, surf.metallic, surf.roughness,
     )
     # "if dot(L, texNormal) <= 0: += 0" (rchit:166-174); lightsCount scaling
     nee = jnp.where(
