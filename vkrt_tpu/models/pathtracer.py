@@ -70,10 +70,13 @@ def bounce_chain(
     clear3 = jnp.asarray(clear_color, carry.origin.dtype)[:3]
 
     def body(d, c: BounceCarry) -> BounceCarry:
-        # dead lanes get a degenerate ray (dir=0): contribution-neutral, and
-        # the trace kernels' block votes then skip them for free
+        # dead lanes get a degenerate ray (dir=0, origin parked at infinity):
+        # contribution-neutral, and the trace kernels' block votes skip them
+        # for free (a stale in-scene origin with dir=0 would still slab-test
+        # positive for the box containing it)
         live_dir = jnp.where(c.active[:, None], c.direction, 0.0)
-        hi = tracer.closest(c.origin, live_dir, T_MIN, T_MAX)
+        live_origin = jnp.where(c.active[:, None], c.origin, 1e30)
+        hi = tracer.closest(live_origin, live_dir, T_MIN, T_MAX)
         miss = ~hi.hit & c.active | ~c.active
         tri = jnp.maximum(hi.tri, 0)
 

@@ -72,31 +72,49 @@ def surface_at_hit(scene, tri, u, v, ray_dir) -> SurfaceSample:
 
     mat_id = jnp.take(scene.tri_mat, tri)
     base_factor = jnp.take(scene.mat_base_color, mat_id, axis=0)[:, :3]
-    base_tex = jnp.take(scene.mat_base_tex, mat_id)
     metal_f = jnp.take(scene.mat_metallic, mat_id)
     rough_f = jnp.take(scene.mat_roughness, mat_id)
-    mr_tex = jnp.take(scene.mat_mr_tex, mat_id)
-    normal_tex = jnp.take(scene.mat_normal_tex, mat_id)
     emis_f = jnp.take(scene.mat_emissive, mat_id, axis=0)
-    emis_tex = jnp.take(scene.mat_emissive_tex, mat_id)
 
-    base_color = base_factor * sample_texture(scene.tex_rgba, scene.tex_size, base_tex, uv)[:, :3]
-    mr = sample_texture(scene.tex_rgba, scene.tex_size, mr_tex, uv)
-    # roughness in G, metalness in B (gltf.glsl:40-44); no-texture => 1
-    roughness = rough_f * mr[:, 1]
-    metallic = metal_f * mr[:, 2]
-    emissive = emis_f * sample_texture(scene.tex_rgba, scene.tex_size, emis_tex, uv)[:, :3]
+    from vkrt_tpu.scene import scene_is_textured
 
-    # Normal mapping (rchit:93-106): TBN = (worldTag, worldBin, worldNrm);
-    # when a normal texture exists the frame is rebuilt around texNormal.
-    tex_n_rgb = sample_texture(scene.tex_rgba, scene.tex_size, normal_tex, uv)[:, :3]
-    mapped = normalize(tex_n_rgb * 2.0 - 1.0)
-    mapped_world = normalize(local_to_world(mapped, world_tag, world_bin, world_nrm))
-    has_nmap = (normal_tex >= 0)[:, None]
-    shading_normal = jnp.where(has_nmap, mapped_world, world_nrm)
-    nt, nb = create_coordinate_system(shading_normal)
-    tangent = jnp.where(has_nmap, nt, world_tag)
-    binormal = jnp.where(has_nmap, nb, world_bin)
+    if scene_is_textured(scene):
+        base_tex = jnp.take(scene.mat_base_tex, mat_id)
+        mr_tex = jnp.take(scene.mat_mr_tex, mat_id)
+        normal_tex = jnp.take(scene.mat_normal_tex, mat_id)
+        emis_tex = jnp.take(scene.mat_emissive_tex, mat_id)
+        base_color = base_factor * sample_texture(
+            scene.tex_rgba, scene.tex_size, base_tex, uv
+        )[:, :3]
+        mr = sample_texture(scene.tex_rgba, scene.tex_size, mr_tex, uv)
+        # roughness in G, metalness in B (gltf.glsl:40-44); no-texture => 1
+        roughness = rough_f * mr[:, 1]
+        metallic = metal_f * mr[:, 2]
+        emissive = emis_f * sample_texture(
+            scene.tex_rgba, scene.tex_size, emis_tex, uv
+        )[:, :3]
+        # Normal mapping (rchit:93-106): TBN = (worldTag, worldBin, worldNrm);
+        # when a normal texture exists the frame is rebuilt around texNormal.
+        tex_n_rgb = sample_texture(scene.tex_rgba, scene.tex_size, normal_tex, uv)[:, :3]
+        mapped = normalize(tex_n_rgb * 2.0 - 1.0)
+        mapped_world = normalize(
+            local_to_world(mapped, world_tag, world_bin, world_nrm)
+        )
+        has_nmap = (normal_tex >= 0)[:, None]
+        shading_normal = jnp.where(has_nmap, mapped_world, world_nrm)
+        nt, nb = create_coordinate_system(shading_normal)
+        tangent = jnp.where(has_nmap, nt, world_tag)
+        binormal = jnp.where(has_nmap, nb, world_bin)
+    else:
+        # untextured scene (checked statically at trace time): all texture
+        # fetches are identity — skip the gather passes entirely
+        base_color = base_factor
+        roughness = rough_f
+        metallic = metal_f
+        emissive = emis_f
+        shading_normal = world_nrm
+        tangent = world_tag
+        binormal = world_bin
 
     del ray_dir  # ffnormal is computed but unused in the reference (rchit:98)
     return SurfaceSample(

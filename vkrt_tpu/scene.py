@@ -265,6 +265,26 @@ def load_scene(path: str) -> SceneArrays:
     return build_scene(gltf_mod.parse_gltf(path))
 
 
+def scene_is_textured(scene: SceneArrays) -> bool:
+    """True if any material references a texture.
+
+    Evaluated at trace time on the closure-captured (concrete) scene so
+    untextured scenes compile shading without the texture-gather passes.
+    Conservatively True if the scene arrays are tracers.
+    """
+    try:
+        import numpy as _np
+
+        return bool(
+            (_np.asarray(scene.mat_base_tex) >= 0).any()
+            or (_np.asarray(scene.mat_mr_tex) >= 0).any()
+            or (_np.asarray(scene.mat_normal_tex) >= 0).any()
+            or (_np.asarray(scene.mat_emissive_tex) >= 0).any()
+        )
+    except Exception:
+        return True
+
+
 # ---------------------------------------------------------------------------
 # Procedural scenes (the bench/test substitutes for assets the reference
 # config lists but does not ship: Sponza, fireplace, suntemple).
