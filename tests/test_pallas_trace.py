@@ -39,7 +39,7 @@ def test_cluster_scene_structure(box):
 def test_pallas_closest_matches_oracle(box, rng):
     pt = make_pallas_tracer(box, interpret=True)
     bf = make_tracer(box, "bruteforce")
-    o, d = _rays(1500, rng)
+    o, d = _rays(1000, rng)
     ref = bf.closest(o, d, 1e-3, 1e4)
     got = pt.closest(o, d, 1e-3, 1e4)
     np.testing.assert_array_equal(np.asarray(got.hit), np.asarray(ref.hit))
@@ -59,7 +59,7 @@ def test_pallas_closest_matches_oracle(box, rng):
 def test_pallas_any_matches_oracle(box, rng):
     pt = make_pallas_tracer(box, interpret=True)
     bf = make_tracer(box, "bruteforce")
-    o, d = _rays(1500, rng)
+    o, d = _rays(1000, rng)
     for tmax in (0.5, 3.0, 1e4):
         ref = bf.any(o, d, 1e-3, tmax)
         got = pt.any(o, d, 1e-3, tmax)
@@ -79,7 +79,7 @@ def test_pallas_random_soup(rng):
     soup = make_random_soup(300, seed=3)
     pt = make_pallas_tracer(soup, interpret=True)
     bf = make_tracer(soup, "bruteforce")
-    o, d = _rays(1200, rng, spread=1.5)
+    o, d = _rays(900, rng, spread=1.5)
     ref = bf.closest(o, d, 1e-3, 1e4)
     got = pt.closest(o, d, 1e-3, 1e4)
     np.testing.assert_array_equal(np.asarray(got.hit), np.asarray(ref.hit))

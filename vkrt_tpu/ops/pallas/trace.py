@@ -63,8 +63,6 @@ class ClusterScene(NamedTuple):
     plane_c: jnp.ndarray     # (T_pad, 1) f32
     plane_u0: jnp.ndarray    # (T_pad, 1) f32
     plane_w0: jnp.ndarray    # (T_pad, 1) f32
-    # per-direction-octant front-to-back cluster visit order (8, n_clusters)
-    cluster_order: jnp.ndarray  # i32
 
 
 def build_cluster_scene(tri_v0, tri_e1, tri_e2) -> ClusterScene:
@@ -122,7 +120,6 @@ def _pack_cluster_scene_from_order(
         plane_c=plane[1],
         plane_u0=plane[2],
         plane_w0=plane[3],
-        cluster_order=_octant_orders(cluster_aabb, super_aabb),
     )
 
 
@@ -197,8 +194,6 @@ def _build_cluster_scene_morton(tri_v0, tri_e1, tri_e2) -> ClusterScene:
         return jnp.asarray(out)
 
     plane = _plane_precompute(tri_cols)
-    aabb6 = np.concatenate([cmin, cmax], axis=1)
-    saabb6 = np.concatenate([smin, smax], axis=1)
     return ClusterScene(
         tri_cols=tri_cols,
         cluster_aabb=pack_aabb(cmin, cmax),
@@ -210,46 +205,10 @@ def _build_cluster_scene_morton(tri_v0, tri_e1, tri_e2) -> ClusterScene:
         plane_c=plane[1],
         plane_u0=plane[2],
         plane_w0=plane[3],
-        cluster_order=_octant_orders(aabb6, saabb6),
     )
 
 
-MM_GROUP = 32  # triangles per matmul group in the v2 kernel
-
-
-def _octant_orders(cluster_aabb: np.ndarray, super_aabb: np.ndarray) -> jnp.ndarray:
-    """Hierarchical front-to-back visit order per direction octant.
-
-    For rays travelling in octant (sx, sy, sz), boxes sorted ascending by the
-    signed centroid projection are met approximately near-to-far, so the
-    closest kernel's tightening t_best occlusion-prunes far boxes via the
-    votes. Returns (8, n_super, 1 + SUPER) int32: per octant, supers in
-    front-to-back order, each row = [super_id, its SUPER clusters ordered
-    front-to-back]. Empty (inverted) boxes sort last.
-    """
-
-    def keys(aabb, oct_id):
-        aabb = np.asarray(aabb)
-        centroid = 0.5 * (aabb[:, :3] + aabb[:, 3:6])
-        empty = aabb[:, 0] > aabb[:, 3]
-        sx = 1.0 if oct_id & 4 else -1.0
-        sy = 1.0 if oct_id & 2 else -1.0
-        sz = 1.0 if oct_id & 1 else -1.0
-        k = sx * centroid[:, 0] + sy * centroid[:, 1] + sz * centroid[:, 2]
-        return np.where(empty | ~np.isfinite(k), np.inf, k)
-
-    n_super = len(super_aabb)
-    out = np.zeros((8, n_super, 1 + SUPER), np.int32)
-    for oct_id in range(8):
-        ks = keys(super_aabb, oct_id)
-        s_order = np.argsort(ks, kind="stable")
-        kc = keys(cluster_aabb, oct_id)
-        for row, s in enumerate(s_order):
-            cids = np.arange(s * SUPER, (s + 1) * SUPER)
-            c_order = cids[np.argsort(kc[cids], kind="stable")]
-            out[oct_id, row, 0] = s
-            out[oct_id, row, 1:] = c_order
-    return jnp.asarray(out)
+MM_GROUP = 32  # triangles per plane-precompute group
 
 
 def _plane_precompute(tri_cols):
@@ -350,11 +309,41 @@ def _mt_group(
     return jnp.where(valid, t, INF), u, v, valid
 
 
+def _or_reduce_scalar(mask):
+    """(8,128) uint32 bitmask -> scalar uint32 OR over every lane.
+
+    The naive per-box ``jnp.any`` costs a full vector->scalar sync (~400
+    cycles) per box and was measured to dominate the whole kernel; this
+    folds 32 boxes' votes into ONE sync: 3 sublane folds + 7 lane rotations
+    leave the OR of all 1024 lanes in every element, then a single scalar
+    reduction extracts it.
+    """
+    m = mask[0:4, :] | mask[4:8, :]
+    m = m[0:2, :] | m[2:4, :]
+    m = m[0:1, :] | m[1:2, :]
+    for sh in (64, 32, 16, 8, 4, 2, 1):
+        m = m | pltpu.roll(m, sh, 1)
+    # every lane now holds the identical OR; Mosaic lacks unsigned reductions,
+    # so bitcast and pick the common value with a signed max (sign-safe since
+    # all values are equal). Bit tests downstream use (x >> k) & 1, which is
+    # correct under arithmetic shift too.
+    return jnp.max(pltpu.bitcast(m, jnp.int32))
+
+
+def _vote_word(aabb_ref, base, count, ox, oy, oz, ix, iy, iz, t_min, t_lim):
+    """Slab-test up to 32 consecutive boxes against the ray block; returns a
+    scalar uint32 with bit b set iff any ray can hit box base+b."""
+    m = jnp.zeros((BLOCK_ROWS, LANES), jnp.uint32)
+    for b in range(count):  # static unroll
+        hit = _slab_vote(aabb_ref, base + b, ox, oy, oz, ix, iy, iz, t_min, t_lim)
+        m = m | jnp.where(hit, jnp.uint32(1 << b), jnp.uint32(0))
+    return _or_reduce_scalar(m)
+
+
 def _closest_kernel(
     n_super: int,
     t_min: float,
     t_max: float,
-    order_ref,
     super_ref,
     cluster_ref,
     *rest,
@@ -420,40 +409,34 @@ def _closest_kernel(
             u_out[row : row + 1, :] = u_row
             v_out[row : row + 1, :] = v_row
 
-    # pick the block's dominant direction octant; the matching precomputed
-    # front-to-back super/cluster order lets the tightening t_best prune
-    # whole subtrees behind the first hits (occlusion culling via the votes).
-    oct_id = (
-        jnp.where(jnp.sum(dx) >= 0.0, 4, 0)
-        + jnp.where(jnp.sum(dy) >= 0.0, 2, 0)
-        + jnp.where(jnp.sum(dz) >= 0.0, 1, 0)
-    )
-
-    def super_body(si, _):
-        s = order_ref[oct_id, si, 0]
-        vote_s = jnp.any(
-            _slab_vote(super_ref, s, ox, oy, oz, ix, iy, iz, t_min, t_out[:])
+    def visit_super(s):
+        cword = _vote_word(
+            cluster_ref, s * SUPER, SUPER, ox, oy, oz, ix, iy, iz, t_min, t_out[:]
         )
 
-        @pl.when(vote_s)
-        def _():
-            def cluster_body(k, __):
-                c = order_ref[oct_id, si, 1 + k]
-                vote_c = jnp.any(
-                    _slab_vote(cluster_ref, c, ox, oy, oz, ix, iy, iz, t_min, t_out[:])
-                )
+        def cluster_body(k, _):
+            @pl.when(((cword >> k) & 1) != 0)
+            def _do():
+                cluster_work(s * SUPER + k)
 
-                @pl.when(vote_c)
-                def _():
-                    cluster_work(c)
+            return 0
 
-                return 0
+        jax.lax.fori_loop(0, SUPER, cluster_body, 0)
 
-            jax.lax.fori_loop(0, SUPER, cluster_body, 0)
+    for w in range(-(-n_super // 32)):  # static words of <= 32 supers
+        count = min(32, n_super - w * 32)
+        sword = _vote_word(
+            super_ref, w * 32, count, ox, oy, oz, ix, iy, iz, t_min, t_out[:]
+        )
 
-        return 0
+        def super_body(sb, _, w=w, sword=sword):
+            @pl.when(((sword >> sb) & 1) != 0)
+            def _do():
+                visit_super(w * 32 + sb)
 
-    jax.lax.fori_loop(0, n_super, super_body, 0)
+            return 0
+
+        jax.lax.fori_loop(0, count, super_body, 0)
 
 
 def _any_kernel(
@@ -499,34 +482,38 @@ def _any_kernel(
                 hit_row = jnp.where(any_hit, 1, hit_row)
             hit_out[row : row + 1, :] = hit_row
 
-    def super_body(s, _):
+    def visit_super(s):
         live = hit_out[:] == 0
-        t_live = jnp.where(live, tmax, t_min)  # dead lanes cull everything
-        vote_s = jnp.any(
-            _slab_vote(super_ref, s, ox, oy, oz, ix, iy, iz, t_min, t_live)
+        t_live = jnp.where(live, tmax, t_min)  # already-hit lanes cull all
+        cword = _vote_word(
+            cluster_ref, s * SUPER, SUPER, ox, oy, oz, ix, iy, iz, t_min, t_live
         )
 
-        @pl.when(vote_s)
-        def _():
-            def cluster_body(k, __):
-                c = s * SUPER + k
-                live_k = hit_out[:] == 0
-                t_live_k = jnp.where(live_k, tmax, t_min)
-                vote_c = jnp.any(
-                    _slab_vote(cluster_ref, c, ox, oy, oz, ix, iy, iz, t_min, t_live_k)
-                )
+        def cluster_body(k, _):
+            @pl.when(((cword >> k) & 1) != 0)
+            def _do():
+                cluster_work(s * SUPER + k)
 
-                @pl.when(vote_c)
-                def _():
-                    cluster_work(c)
+            return 0
 
-                return 0
+        jax.lax.fori_loop(0, SUPER, cluster_body, 0)
 
-            jax.lax.fori_loop(0, SUPER, cluster_body, 0)
+    for w in range(-(-n_super // 32)):  # static words of <= 32 supers
+        count = min(32, n_super - w * 32)
+        live_w = hit_out[:] == 0
+        t_live_w = jnp.where(live_w, tmax, t_min)
+        sword = _vote_word(
+            super_ref, w * 32, count, ox, oy, oz, ix, iy, iz, t_min, t_live_w
+        )
 
-        return 0
+        def super_body(sb, _, w=w, sword=sword):
+            @pl.when(((sword >> sb) & 1) != 0)
+            def _do():
+                visit_super(w * 32 + sb)
 
-    jax.lax.fori_loop(0, n_super, super_body, 0)
+            return 0
+
+        jax.lax.fori_loop(0, count, super_body, 0)
 
 
 # Rows of 128 rays per lax.map chunk. Chunking bounds the scoped-VMEM
@@ -557,16 +544,17 @@ def _pad_rays(orig, direction):
 
 
 def _chunk_rows(comps, rows):
-    """Reshape (rows, LANES) component arrays to (n_chunks, CHUNK_ROWS, LANES),
-    zero-padding rows to a CHUNK_ROWS multiple (pad rays have dir=0 and are
-    vote-skipped by the kernels)."""
-    pad = (-rows) % CHUNK_ROWS
+    """Reshape (rows, LANES) component arrays to (n_chunks, chunk, LANES),
+    zero-padding rows to a chunk multiple (pad rays have dir=0 and are
+    vote-skipped by the kernels). Small inputs get one right-sized chunk."""
+    chunk = min(CHUNK_ROWS, rows)
+    pad = (-rows) % chunk
     out = []
     for a in comps:
         if pad:
             a = jnp.concatenate([a, jnp.zeros((pad, LANES), a.dtype)])
-        out.append(a.reshape(-1, CHUNK_ROWS, LANES))
-    return out, rows + pad
+        out.append(a.reshape(-1, chunk, LANES))
+    return out, chunk
 
 
 @functools.partial(
@@ -575,7 +563,7 @@ def _chunk_rows(comps, rows):
 def _closest_call(cs: ClusterScene, orig, direction, cs_static, t_min, t_max, interpret):
     n_clusters, n_super = cs_static
     (o_comps, d_comps, n, rows) = _pad_rays(orig, direction)
-    comps, rows_pad = _chunk_rows([*o_comps, *d_comps], rows)
+    comps, chunk_rows = _chunk_rows([*o_comps, *d_comps], rows)
     ray_spec = pl.BlockSpec(
         (BLOCK_ROWS, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
@@ -584,9 +572,8 @@ def _closest_call(cs: ClusterScene, orig, direction, cs_static, t_min, t_max, in
     def chunk_body(chunk):
         out = pl.pallas_call(
             kernel,
-            grid=(CHUNK_ROWS // BLOCK_ROWS,),
+            grid=(chunk_rows // BLOCK_ROWS,),
             in_specs=[
-                pl.BlockSpec(memory_space=pltpu.SMEM),
                 pl.BlockSpec(memory_space=pltpu.SMEM),
                 pl.BlockSpec(memory_space=pltpu.SMEM),
                 *[pl.BlockSpec(memory_space=pltpu.VMEM)] * 9,
@@ -594,13 +581,13 @@ def _closest_call(cs: ClusterScene, orig, direction, cs_static, t_min, t_max, in
             ],
             out_specs=[ray_spec] * 4,
             out_shape=[
-                jax.ShapeDtypeStruct((CHUNK_ROWS, LANES), jnp.float32),
-                jax.ShapeDtypeStruct((CHUNK_ROWS, LANES), jnp.int32),
-                jax.ShapeDtypeStruct((CHUNK_ROWS, LANES), jnp.float32),
-                jax.ShapeDtypeStruct((CHUNK_ROWS, LANES), jnp.float32),
+                jax.ShapeDtypeStruct((chunk_rows, LANES), jnp.float32),
+                jax.ShapeDtypeStruct((chunk_rows, LANES), jnp.int32),
+                jax.ShapeDtypeStruct((chunk_rows, LANES), jnp.float32),
+                jax.ShapeDtypeStruct((chunk_rows, LANES), jnp.float32),
             ],
             interpret=interpret,
-        )(cs.cluster_order, cs.super_aabb, cs.cluster_aabb, *cs.tri_cols, *chunk)
+        )(cs.super_aabb, cs.cluster_aabb, *cs.tri_cols, *chunk)
         # barrier: stop XLA from fusing/holding the frame-sized outputs in
         # scoped VMEM (repeated compile-time VMEM OOMs without it)
         return jax.lax.optimization_barrier(out)
@@ -622,12 +609,12 @@ def _any_call(cs: ClusterScene, orig, direction, t_max_per_ray, cs_static, t_min
     if n_pad:
         tmax = jnp.concatenate([tmax, jnp.full((n_pad,), -1.0, tmax.dtype)])
     tmax2d = tmax.reshape(rows, LANES)
+    comps, chunk_rows = _chunk_rows([*o_comps, *d_comps], rows)
     # pad tmax chunks with -1 (guaranteed miss), rays with 0 (vote-skipped)
-    pad = (-rows) % CHUNK_ROWS
+    pad = (-rows) % chunk_rows
     if pad:
         tmax2d = jnp.concatenate([tmax2d, jnp.full((pad, LANES), -1.0, tmax2d.dtype)])
-    comps, rows_pad = _chunk_rows([*o_comps, *d_comps], rows)
-    comps.append(tmax2d.reshape(-1, CHUNK_ROWS, LANES))
+    comps.append(tmax2d.reshape(-1, chunk_rows, LANES))
     ray_spec = pl.BlockSpec(
         (BLOCK_ROWS, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
@@ -636,7 +623,7 @@ def _any_call(cs: ClusterScene, orig, direction, t_max_per_ray, cs_static, t_min
     def chunk_body(chunk):
         out = pl.pallas_call(
             kernel,
-            grid=(CHUNK_ROWS // BLOCK_ROWS,),
+            grid=(chunk_rows // BLOCK_ROWS,),
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.SMEM),
                 pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -644,7 +631,7 @@ def _any_call(cs: ClusterScene, orig, direction, t_max_per_ray, cs_static, t_min
                 *[ray_spec] * 7,
             ],
             out_specs=ray_spec,
-            out_shape=jax.ShapeDtypeStruct((CHUNK_ROWS, LANES), jnp.int32),
+            out_shape=jax.ShapeDtypeStruct((chunk_rows, LANES), jnp.int32),
             interpret=interpret,
         )(cs.super_aabb, cs.cluster_aabb, *cs.tri_cols, *chunk)
         return jax.lax.optimization_barrier(out)
