@@ -40,7 +40,9 @@ from jax.experimental.pallas import tpu as pltpu
 CLUSTER = 64          # triangles per cluster
 GROUP = 8             # triangles per inner vector step (sublane dim)
 SUPER = 16            # clusters per supercluster
-BLOCK_ROWS = 8        # ray rows per program -> 8*128 = 1024 rays (min sublane tile)
+BLOCK_ROWS = 8        # ray rows per vote group -> 8*128 = 1024 rays (min sublane tile)
+SUBS = 1              # vote groups per kernel program (4 measured within noise of 1)
+PROG_ROWS = BLOCK_ROWS * SUBS
 LANES = 128
 INF = 3e38  # python float: jnp scalars would be captured as kernel constants
 _DET_EPS = 1e-9
@@ -352,91 +354,99 @@ def _closest_kernel(
     ox_r, oy_r, oz_r, dx_r, dy_r, dz_r = rest[9:15]
     t_out, idx_out, u_out, v_out = rest[15:19]
 
-    ox, oy, oz = ox_r[:], oy_r[:], oz_r[:]
-    dx, dy, dz = dx_r[:], dy_r[:], dz_r[:]
-
     def safe_inv(d):
         return pl.reciprocal(
             jnp.where(jnp.abs(d) < 1e-20, jnp.where(d < 0, -1e-20, 1e-20), d),
             approx=False,
         )
 
-    ix, iy, iz = safe_inv(dx), safe_inv(dy), safe_inv(dz)
-
-    t_out[:] = jnp.full((BLOCK_ROWS, LANES), INF, jnp.float32)
-    idx_out[:] = jnp.full((BLOCK_ROWS, LANES), -1, jnp.int32)
-    u_out[:] = jnp.zeros((BLOCK_ROWS, LANES), jnp.float32)
-    v_out[:] = jnp.zeros((BLOCK_ROWS, LANES), jnp.float32)
+    t_out[:] = jnp.full((PROG_ROWS, LANES), INF, jnp.float32)
+    idx_out[:] = jnp.full((PROG_ROWS, LANES), -1, jnp.int32)
+    u_out[:] = jnp.zeros((PROG_ROWS, LANES), jnp.float32)
+    v_out[:] = jnp.zeros((PROG_ROWS, LANES), jnp.float32)
 
     sub_iota = jax.lax.broadcasted_iota(jnp.int32, (GROUP, LANES), 0)
 
-    def cluster_work(c):
-        """Test all 64 triangles of cluster c against the ray block."""
-        for row in range(BLOCK_ROWS):  # static unroll: 128 rays per row
-            oxr = ox[row : row + 1, :]
-            oyr = oy[row : row + 1, :]
-            ozr = oz[row : row + 1, :]
-            dxr = dx[row : row + 1, :]
-            dyr = dy[row : row + 1, :]
-            dzr = dz[row : row + 1, :]
-            t_row = t_out[row : row + 1, :]
-            idx_row = idx_out[row : row + 1, :]
-            u_row = u_out[row : row + 1, :]
-            v_row = v_out[row : row + 1, :]
-            for g in range(CLUSTER // GROUP):
-                base = c * CLUSTER + g * GROUP
-                t_c, u_c, v_c, valid = _mt_group(
-                    tri_refs, base, oxr, oyr, ozr, dxr, dyr, dzr, t_min
-                )
-                t_c = jnp.where(t_c < t_max, t_c, INF)
-                # reduce 8 candidate triangles -> best per lane
-                t_min_g = jnp.min(t_c, axis=0, keepdims=True)  # (1,128)
-                is_min = t_c == t_min_g
-                win_sub = jnp.min(
-                    jnp.where(is_min, sub_iota, GROUP), axis=0, keepdims=True
-                )
-                pick = sub_iota == win_sub
-                u_g = jnp.sum(jnp.where(pick, u_c, 0.0), axis=0, keepdims=True)
-                v_g = jnp.sum(jnp.where(pick, v_c, 0.0), axis=0, keepdims=True)
-                improved = t_min_g < t_row
-                t_row = jnp.where(improved, t_min_g, t_row)
-                idx_g = base + win_sub
-                idx_row = jnp.where(improved, idx_g, idx_row)
-                u_row = jnp.where(improved, u_g, u_row)
-                v_row = jnp.where(improved, v_g, v_row)
-            t_out[row : row + 1, :] = t_row
-            idx_out[row : row + 1, :] = idx_row
-            u_out[row : row + 1, :] = u_row
-            v_out[row : row + 1, :] = v_row
+    # each program handles SUBS independent 1024-ray vote groups: same vote
+    # granularity as one-group programs, 1/SUBS the per-program overhead
+    for sub in range(SUBS):
+        rb = sub * BLOCK_ROWS
+        sl = pl.ds(rb, BLOCK_ROWS)
+        ox, oy, oz = ox_r[sl, :], oy_r[sl, :], oz_r[sl, :]
+        dx, dy, dz = dx_r[sl, :], dy_r[sl, :], dz_r[sl, :]
+        ix, iy, iz = safe_inv(dx), safe_inv(dy), safe_inv(dz)
 
-    def visit_super(s):
-        cword = _vote_word(
-            cluster_ref, s * SUPER, SUPER, ox, oy, oz, ix, iy, iz, t_min, t_out[:]
-        )
+        def cluster_work(c, ox=ox, oy=oy, oz=oz, dx=dx, dy=dy, dz=dz, rb=rb):
+            """Test all 64 triangles of cluster c against this ray group."""
+            for row in range(BLOCK_ROWS):  # static unroll: 128 rays per row
+                oxr = ox[row : row + 1, :]
+                oyr = oy[row : row + 1, :]
+                ozr = oz[row : row + 1, :]
+                dxr = dx[row : row + 1, :]
+                dyr = dy[row : row + 1, :]
+                dzr = dz[row : row + 1, :]
+                r = rb + row
+                t_row = t_out[r : r + 1, :]
+                idx_row = idx_out[r : r + 1, :]
+                u_row = u_out[r : r + 1, :]
+                v_row = v_out[r : r + 1, :]
+                for g in range(CLUSTER // GROUP):
+                    base = c * CLUSTER + g * GROUP
+                    t_c, u_c, v_c, valid = _mt_group(
+                        tri_refs, base, oxr, oyr, ozr, dxr, dyr, dzr, t_min
+                    )
+                    t_c = jnp.where(t_c < t_max, t_c, INF)
+                    # reduce 8 candidate triangles -> best per lane
+                    t_min_g = jnp.min(t_c, axis=0, keepdims=True)  # (1,128)
+                    is_min = t_c == t_min_g
+                    win_sub = jnp.min(
+                        jnp.where(is_min, sub_iota, GROUP), axis=0, keepdims=True
+                    )
+                    pick = sub_iota == win_sub
+                    u_g = jnp.sum(jnp.where(pick, u_c, 0.0), axis=0, keepdims=True)
+                    v_g = jnp.sum(jnp.where(pick, v_c, 0.0), axis=0, keepdims=True)
+                    improved = t_min_g < t_row
+                    t_row = jnp.where(improved, t_min_g, t_row)
+                    idx_g = base + win_sub
+                    idx_row = jnp.where(improved, idx_g, idx_row)
+                    u_row = jnp.where(improved, u_g, u_row)
+                    v_row = jnp.where(improved, v_g, v_row)
+                t_out[r : r + 1, :] = t_row
+                idx_out[r : r + 1, :] = idx_row
+                u_out[r : r + 1, :] = u_row
+                v_out[r : r + 1, :] = v_row
 
-        def cluster_body(k, _):
-            @pl.when(((cword >> k) & 1) != 0)
-            def _do():
-                cluster_work(s * SUPER + k)
+        def visit_super(s, ox=ox, oy=oy, oz=oz, ix=ix, iy=iy, iz=iz,
+                        cluster_work=cluster_work, sl=sl):
+            cword = _vote_word(
+                cluster_ref, s * SUPER, SUPER, ox, oy, oz, ix, iy, iz,
+                t_min, t_out[sl, :],
+            )
 
-            return 0
+            def cluster_body(k, _):
+                @pl.when(((cword >> k) & 1) != 0)
+                def _do():
+                    cluster_work(s * SUPER + k)
 
-        jax.lax.fori_loop(0, SUPER, cluster_body, 0)
+                return 0
 
-    for w in range(-(-n_super // 32)):  # static words of <= 32 supers
-        count = min(32, n_super - w * 32)
-        sword = _vote_word(
-            super_ref, w * 32, count, ox, oy, oz, ix, iy, iz, t_min, t_out[:]
-        )
+            jax.lax.fori_loop(0, SUPER, cluster_body, 0)
 
-        def super_body(sb, _, w=w, sword=sword):
-            @pl.when(((sword >> sb) & 1) != 0)
-            def _do():
-                visit_super(w * 32 + sb)
+        for w in range(-(-n_super // 32)):  # static words of <= 32 supers
+            count = min(32, n_super - w * 32)
+            sword = _vote_word(
+                super_ref, w * 32, count, ox, oy, oz, ix, iy, iz,
+                t_min, t_out[sl, :],
+            )
 
-            return 0
+            def super_body(sb, _, w=w, sword=sword, visit_super=visit_super):
+                @pl.when(((sword >> sb) & 1) != 0)
+                def _do():
+                    visit_super(w * 32 + sb)
 
-        jax.lax.fori_loop(0, count, super_body, 0)
+                return 0
+
+            jax.lax.fori_loop(0, count, super_body, 0)
 
 
 def _any_kernel(
@@ -450,81 +460,89 @@ def _any_kernel(
     ox_r, oy_r, oz_r, dx_r, dy_r, dz_r, tmax_r = rest[9:16]
     hit_out = rest[16]
 
-    ox, oy, oz = ox_r[:], oy_r[:], oz_r[:]
-    dx, dy, dz = dx_r[:], dy_r[:], dz_r[:]
-    tmax = tmax_r[:]
-
     def safe_inv(d):
         return pl.reciprocal(
             jnp.where(jnp.abs(d) < 1e-20, jnp.where(d < 0, -1e-20, 1e-20), d),
             approx=False,
         )
 
-    ix, iy, iz = safe_inv(dx), safe_inv(dy), safe_inv(dz)
-    hit_out[:] = jnp.zeros((BLOCK_ROWS, LANES), jnp.int32)
+    hit_out[:] = jnp.zeros((PROG_ROWS, LANES), jnp.int32)
 
-    def cluster_work(c):
-        for row in range(BLOCK_ROWS):
-            oxr = ox[row : row + 1, :]
-            oyr = oy[row : row + 1, :]
-            ozr = oz[row : row + 1, :]
-            dxr = dx[row : row + 1, :]
-            dyr = dy[row : row + 1, :]
-            dzr = dz[row : row + 1, :]
-            tmax_row = tmax[row : row + 1, :]
-            hit_row = hit_out[row : row + 1, :]
-            for g in range(CLUSTER // GROUP):
-                base = c * CLUSTER + g * GROUP
-                t_c, _, _, _ = _mt_group(
-                    tri_refs, base, oxr, oyr, ozr, dxr, dyr, dzr, t_min
-                )
-                any_hit = jnp.any(t_c < tmax_row, axis=0, keepdims=True)
-                hit_row = jnp.where(any_hit, 1, hit_row)
-            hit_out[row : row + 1, :] = hit_row
+    for sub in range(SUBS):
+        rb = sub * BLOCK_ROWS
+        sl = pl.ds(rb, BLOCK_ROWS)
+        ox, oy, oz = ox_r[sl, :], oy_r[sl, :], oz_r[sl, :]
+        dx, dy, dz = dx_r[sl, :], dy_r[sl, :], dz_r[sl, :]
+        tmax = tmax_r[sl, :]
+        ix, iy, iz = safe_inv(dx), safe_inv(dy), safe_inv(dz)
 
-    def visit_super(s):
-        live = hit_out[:] == 0
-        t_live = jnp.where(live, tmax, t_min)  # already-hit lanes cull all
-        cword = _vote_word(
-            cluster_ref, s * SUPER, SUPER, ox, oy, oz, ix, iy, iz, t_min, t_live
-        )
+        def cluster_work(c, ox=ox, oy=oy, oz=oz, dx=dx, dy=dy, dz=dz,
+                         tmax=tmax, rb=rb):
+            for row in range(BLOCK_ROWS):
+                oxr = ox[row : row + 1, :]
+                oyr = oy[row : row + 1, :]
+                ozr = oz[row : row + 1, :]
+                dxr = dx[row : row + 1, :]
+                dyr = dy[row : row + 1, :]
+                dzr = dz[row : row + 1, :]
+                tmax_row = tmax[row : row + 1, :]
+                r = rb + row
+                hit_row = hit_out[r : r + 1, :]
+                for g in range(CLUSTER // GROUP):
+                    base = c * CLUSTER + g * GROUP
+                    t_c, _, _, _ = _mt_group(
+                        tri_refs, base, oxr, oyr, ozr, dxr, dyr, dzr, t_min
+                    )
+                    any_hit = jnp.any(t_c < tmax_row, axis=0, keepdims=True)
+                    hit_row = jnp.where(any_hit, 1, hit_row)
+                hit_out[r : r + 1, :] = hit_row
 
-        def cluster_body(k, _):
-            @pl.when(((cword >> k) & 1) != 0)
-            def _do():
-                cluster_work(s * SUPER + k)
+        def visit_super(s, ox=ox, oy=oy, oz=oz, ix=ix, iy=iy, iz=iz,
+                        tmax=tmax, cluster_work=cluster_work, sl=sl):
+            live = hit_out[sl, :] == 0
+            t_live = jnp.where(live, tmax, t_min)  # already-hit lanes cull all
+            cword = _vote_word(
+                cluster_ref, s * SUPER, SUPER, ox, oy, oz, ix, iy, iz,
+                t_min, t_live,
+            )
 
-            return 0
+            def cluster_body(k, _):
+                @pl.when(((cword >> k) & 1) != 0)
+                def _do():
+                    cluster_work(s * SUPER + k)
 
-        jax.lax.fori_loop(0, SUPER, cluster_body, 0)
+                return 0
 
-    for w in range(-(-n_super // 32)):  # static words of <= 32 supers
-        count = min(32, n_super - w * 32)
-        live_w = hit_out[:] == 0
-        t_live_w = jnp.where(live_w, tmax, t_min)
-        sword = _vote_word(
-            super_ref, w * 32, count, ox, oy, oz, ix, iy, iz, t_min, t_live_w
-        )
+            jax.lax.fori_loop(0, SUPER, cluster_body, 0)
 
-        def super_body(sb, _, w=w, sword=sword):
-            @pl.when(((sword >> sb) & 1) != 0)
-            def _do():
-                visit_super(w * 32 + sb)
+        for w in range(-(-n_super // 32)):  # static words of <= 32 supers
+            count = min(32, n_super - w * 32)
+            live_w = hit_out[sl, :] == 0
+            t_live_w = jnp.where(live_w, tmax, t_min)
+            sword = _vote_word(
+                super_ref, w * 32, count, ox, oy, oz, ix, iy, iz,
+                t_min, t_live_w,
+            )
 
-            return 0
+            def super_body(sb, _, w=w, sword=sword, visit_super=visit_super):
+                @pl.when(((sword >> sb) & 1) != 0)
+                def _do():
+                    visit_super(w * 32 + sb)
 
-        jax.lax.fori_loop(0, count, super_body, 0)
+                return 0
+
+            jax.lax.fori_loop(0, count, super_body, 0)
 
 
 # Rows of 128 rays per lax.map chunk. Chunking bounds the scoped-VMEM
 # footprint XLA assigns to the kernel's operands/outputs when the call sits
 # inside the frame loop (whole-frame buffers tripped compile-time VMEM OOM).
-CHUNK_ROWS = 1200
+CHUNK_ROWS = 1200  # must be a PROG_ROWS multiple
 
 
 def _pad_rays(orig, direction):
     n = orig.shape[0]
-    block = BLOCK_ROWS * LANES
+    block = PROG_ROWS * LANES
     n_pad = (-n) % block
     if n_pad:
         orig = jnp.concatenate([orig, jnp.zeros((n_pad, 3), orig.dtype)])
@@ -565,14 +583,14 @@ def _closest_call(cs: ClusterScene, orig, direction, cs_static, t_min, t_max, in
     (o_comps, d_comps, n, rows) = _pad_rays(orig, direction)
     comps, chunk_rows = _chunk_rows([*o_comps, *d_comps], rows)
     ray_spec = pl.BlockSpec(
-        (BLOCK_ROWS, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+        (PROG_ROWS, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
     kernel = functools.partial(_closest_kernel, n_super, t_min, t_max)
 
     def chunk_body(chunk):
         out = pl.pallas_call(
             kernel,
-            grid=(chunk_rows // BLOCK_ROWS,),
+            grid=(chunk_rows // PROG_ROWS,),
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.SMEM),
                 pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -616,14 +634,14 @@ def _any_call(cs: ClusterScene, orig, direction, t_max_per_ray, cs_static, t_min
         tmax2d = jnp.concatenate([tmax2d, jnp.full((pad, LANES), -1.0, tmax2d.dtype)])
     comps.append(tmax2d.reshape(-1, chunk_rows, LANES))
     ray_spec = pl.BlockSpec(
-        (BLOCK_ROWS, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+        (PROG_ROWS, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
     kernel = functools.partial(_any_kernel, n_super, t_min)
 
     def chunk_body(chunk):
         out = pl.pallas_call(
             kernel,
-            grid=(chunk_rows // BLOCK_ROWS,),
+            grid=(chunk_rows // PROG_ROWS,),
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.SMEM),
                 pl.BlockSpec(memory_space=pltpu.SMEM),
