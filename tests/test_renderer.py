@@ -151,3 +151,31 @@ def test_view_accumulated_debug_mode(box):
     # shows visibility as grayscale: all channels equal
     np.testing.assert_allclose(out[:, 0], out[:, 1])
     np.testing.assert_allclose(out[:, 0], out[:, 2])
+
+
+def test_resize_resets_and_renders(box):
+    e = Engine(box, W, H, RenderSettings(rt_mode=1))
+    e.render_frame()
+    e.resize(32, 24)
+    assert e.frame == -1
+    out = e.render_frame()
+    assert out.shape == (32 * 24, 3)
+    assert e.accum.shape == (32 * 24, 3)
+
+
+def test_update_settings_switches_mode(box):
+    e = Engine(box, W, H, RenderSettings(rt_mode=1))
+    e.render_frame()
+    e.update_settings(e.settings.replace(rt_mode=0))
+    out = np.asarray(e.render_frame())
+    assert e.frame == 0
+    assert np.isfinite(out).all()
+
+
+def test_backend_switch_keeps_rendering(box):
+    e = Engine(box, W, H, RenderSettings(rt_mode=1, backend="bruteforce"))
+    a = np.asarray(e.render_frame())
+    e.update_settings(e.settings.replace(backend="bvh"))
+    b = np.asarray(e.render_frame())  # frame resets to 0: same image modulo ties
+    close = np.isclose(a, b, rtol=1e-4, atol=1e-5).mean()
+    assert close > 0.98
