@@ -26,7 +26,8 @@ def _rays(n, rng, spread=3.0):
 def test_cluster_scene_structure(box):
     cs = build_cluster_scene(box.tri_v0, box.tri_e1, box.tri_e2)
     assert cs.n_clusters % 16 == 0
-    assert cs.tri_cols[0].shape == (cs.n_clusters * 64, 1)
+    # packed layout: lane dim fully used (128 slots per row)
+    assert cs.tri_cols[0].shape == (cs.n_clusters * 64 // 128, 128)
     # every real triangle appears exactly once in the remap prefix
     remap = np.asarray(cs.tri_remap)
     aabb = np.asarray(cs.cluster_aabb)

@@ -42,6 +42,8 @@ GROUP = 8             # triangles per inner vector step (sublane dim)
 SUPER = 16            # clusters per supercluster
 BLOCK_ROWS = 8        # ray rows per vote group -> 8*128 = 1024 rays (min sublane tile)
 SUBS = 1              # vote groups per kernel program (4 measured within noise of 1)
+WORD = 16             # boxes per vote word (the Mosaic compile helper crashes
+                      # on words unrolling more than ~26 slab tests)
 PROG_ROWS = BLOCK_ROWS * SUBS
 LANES = 128
 INF = 3e38  # python float: jnp scalars would be captured as kernel constants
@@ -51,7 +53,10 @@ _DET_EPS = 1e-9
 class ClusterScene(NamedTuple):
     """Triangle data packed for the kernels (host-built, device-resident)."""
 
-    tri_cols: tuple          # 9 arrays (T_pad, 1) f32: v0,e1,e2 xyz columns
+    tri_cols: tuple          # 9 arrays (T_pad//128, 128) f32: v0,e1,e2 xyz,
+                             # row-major packed (lane-dim fully utilized;
+                             # (T,1) columns would pad lanes 128x and blow
+                             # past the 128MB VMEM at ~27k triangle slots)
     cluster_aabb: jnp.ndarray  # (n_clusters, 8) f32 (minxyz, maxxyz, pad)
     super_aabb: jnp.ndarray    # (n_super, 8) f32
     tri_remap: jnp.ndarray     # (T_pad,) i32: packed slot -> original tri id
@@ -101,7 +106,7 @@ def _pack_cluster_scene_from_order(
 
     def col(a, j):
         out = np.where(valid, a[safe, j], 0.0).astype(np.float32)
-        return jnp.asarray(out[:, None])
+        return jnp.asarray(out.reshape(-1, 128))
 
     tri_cols = tuple(col(a, j) for a in (v0, e1, e2) for j in range(3))
 
@@ -159,10 +164,9 @@ def _build_cluster_scene_morton(tri_v0, tri_e1, tri_e2) -> ClusterScene:
     valid[:n] = ~degen[order]
 
     def col(a, j):
-        out = np.zeros((t_pad, 1), np.float32)
-        out[:n, 0] = a[order, j]
-        out[:n, 0][~valid[:n]] = 0.0
-        return out
+        out = np.zeros(t_pad, np.float32)
+        out[:n] = np.where(valid[:n], a[order, j], 0.0)
+        return jnp.asarray(out.reshape(-1, 128))
 
     tri_cols = tuple(
         jnp.asarray(col(a, j))
@@ -214,8 +218,8 @@ MM_GROUP = 32  # triangles per plane-precompute group
 
 
 def _plane_precompute(tri_cols):
-    """Plane/barycentric precomputation from packed (T_pad, 1) columns."""
-    cols = [np.asarray(c)[:, 0] for c in tri_cols]
+    """Plane/barycentric precomputation from packed component rows."""
+    cols = [np.asarray(c).reshape(-1) for c in tri_cols]
     v0 = np.stack(cols[0:3], -1).astype(np.float64)
     e1 = np.stack(cols[3:6], -1).astype(np.float64)
     e2 = np.stack(cols[6:9], -1).astype(np.float64)
@@ -273,18 +277,38 @@ def _slab_vote(aabb_ref, idx, ox, oy, oz, ix, iy, iz, t_min, t_lim):
     return tnear <= tfar
 
 
+def _cluster_tiles(tri_refs, c):
+    """Extract cluster c's triangle components as 9 lists of 8 (8, 1) group
+    columns. A cluster's 64 slots occupy half of one packed (.., 128) row:
+    load the row, select the half by the cluster's parity (scalar pred),
+    then cut static (1, 8) group slices and pivot each to a sublane column —
+    the only shape cast Mosaic supports here ((1,64)->(8,8) reshapes and
+    dynamic lane slicing are rejected / crash the compile helper)."""
+    row = c // 2
+    hi_half = (c % 2) == 1
+    tiles = []
+    for r in tri_refs:
+        full = r[pl.ds(row, 1), :]                       # (1,128)
+        half = jnp.where(hi_half, full[:, 64:], full[:, :64])  # (1,64)
+        tiles.append(
+            [
+                half[:, g * GROUP : (g + 1) * GROUP].reshape(GROUP, 1)
+                for g in range(CLUSTER // GROUP)
+            ]
+        )
+    return tiles
+
+
 def _mt_group(
-    tri_refs, base, ox, oy, oz, dx, dy, dz, t_min
+    tiles, g, ox, oy, oz, dx, dy, dz, t_min
 ):
     """Möller-Trumbore for an 8-triangle group vs a 128-ray row.
 
-    tri components load as (8,1) columns, ray components are (1,128) rows;
-    every op below computes 1024 ray-triangle pairs. Returns (t, u, v, valid)
-    all (8,128) with t = INF where invalid.
+    tri components come as (8,1) columns from the cluster tiles, ray
+    components are (1,128) rows; every op below computes 1024 ray-triangle
+    pairs. Returns (t, u, v, valid) all (8,128) with t = INF where invalid.
     """
-    v0x, v0y, v0z, e1x, e1y, e1z, e2x, e2y, e2z = (
-        r[pl.ds(base, GROUP), :] for r in tri_refs
-    )
+    v0x, v0y, v0z, e1x, e1y, e1z, e2x, e2y, e2z = (comp[g] for comp in tiles)
     # pvec = cross(d, e2)
     px = dy * e2z - dz * e2y
     py = dz * e2x - dx * e2z
@@ -333,8 +357,8 @@ def _or_reduce_scalar(mask):
 
 
 def _vote_word(aabb_ref, base, count, ox, oy, oz, ix, iy, iz, t_min, t_lim):
-    """Slab-test up to 32 consecutive boxes against the ray block; returns a
-    scalar uint32 with bit b set iff any ray can hit box base+b."""
+    """Slab-test up to WORD consecutive boxes against the ray block; returns a
+    scalar with bit b set iff any ray can hit box base+b."""
     m = jnp.zeros((BLOCK_ROWS, LANES), jnp.uint32)
     for b in range(count):  # static unroll
         hit = _slab_vote(aabb_ref, base + b, ox, oy, oz, ix, iy, iz, t_min, t_lim)
@@ -378,6 +402,7 @@ def _closest_kernel(
 
         def cluster_work(c, ox=ox, oy=oy, oz=oz, dx=dx, dy=dy, dz=dz, rb=rb):
             """Test all 64 triangles of cluster c against this ray group."""
+            tiles = _cluster_tiles(tri_refs, c)
             for row in range(BLOCK_ROWS):  # static unroll: 128 rays per row
                 oxr = ox[row : row + 1, :]
                 oyr = oy[row : row + 1, :]
@@ -393,7 +418,7 @@ def _closest_kernel(
                 for g in range(CLUSTER // GROUP):
                     base = c * CLUSTER + g * GROUP
                     t_c, u_c, v_c, valid = _mt_group(
-                        tri_refs, base, oxr, oyr, ozr, dxr, dyr, dzr, t_min
+                        tiles, g, oxr, oyr, ozr, dxr, dyr, dzr, t_min
                     )
                     t_c = jnp.where(t_c < t_max, t_c, INF)
                     # reduce 8 candidate triangles -> best per lane
@@ -432,17 +457,17 @@ def _closest_kernel(
 
             jax.lax.fori_loop(0, SUPER, cluster_body, 0)
 
-        for w in range(-(-n_super // 32)):  # static words of <= 32 supers
-            count = min(32, n_super - w * 32)
+        for w in range(-(-n_super // WORD)):  # static words of <= WORD supers
+            count = min(WORD, n_super - w * WORD)
             sword = _vote_word(
-                super_ref, w * 32, count, ox, oy, oz, ix, iy, iz,
+                super_ref, w * WORD, count, ox, oy, oz, ix, iy, iz,
                 t_min, t_out[sl, :],
             )
 
             def super_body(sb, _, w=w, sword=sword, visit_super=visit_super):
                 @pl.when(((sword >> sb) & 1) != 0)
                 def _do():
-                    visit_super(w * 32 + sb)
+                    visit_super(w * WORD + sb)
 
                 return 0
 
@@ -478,6 +503,7 @@ def _any_kernel(
 
         def cluster_work(c, ox=ox, oy=oy, oz=oz, dx=dx, dy=dy, dz=dz,
                          tmax=tmax, rb=rb):
+            tiles = _cluster_tiles(tri_refs, c)
             for row in range(BLOCK_ROWS):
                 oxr = ox[row : row + 1, :]
                 oyr = oy[row : row + 1, :]
@@ -489,9 +515,8 @@ def _any_kernel(
                 r = rb + row
                 hit_row = hit_out[r : r + 1, :]
                 for g in range(CLUSTER // GROUP):
-                    base = c * CLUSTER + g * GROUP
                     t_c, _, _, _ = _mt_group(
-                        tri_refs, base, oxr, oyr, ozr, dxr, dyr, dzr, t_min
+                        tiles, g, oxr, oyr, ozr, dxr, dyr, dzr, t_min
                     )
                     any_hit = jnp.any(t_c < tmax_row, axis=0, keepdims=True)
                     hit_row = jnp.where(any_hit, 1, hit_row)
@@ -515,19 +540,19 @@ def _any_kernel(
 
             jax.lax.fori_loop(0, SUPER, cluster_body, 0)
 
-        for w in range(-(-n_super // 32)):  # static words of <= 32 supers
-            count = min(32, n_super - w * 32)
+        for w in range(-(-n_super // WORD)):  # static words of <= WORD supers
+            count = min(WORD, n_super - w * WORD)
             live_w = hit_out[sl, :] == 0
             t_live_w = jnp.where(live_w, tmax, t_min)
             sword = _vote_word(
-                super_ref, w * 32, count, ox, oy, oz, ix, iy, iz,
+                super_ref, w * WORD, count, ox, oy, oz, ix, iy, iz,
                 t_min, t_live_w,
             )
 
             def super_body(sb, _, w=w, sword=sword, visit_super=visit_super):
                 @pl.when(((sword >> sb) & 1) != 0)
                 def _do():
-                    visit_super(w * 32 + sb)
+                    visit_super(w * WORD + sb)
 
                 return 0
 
@@ -592,8 +617,10 @@ def _closest_call(cs: ClusterScene, orig, direction, cs_static, t_min, t_max, in
             kernel,
             grid=(chunk_rows // PROG_ROWS,),
             in_specs=[
-                pl.BlockSpec(memory_space=pltpu.SMEM),
-                pl.BlockSpec(memory_space=pltpu.SMEM),
+                # AABB tables live in VMEM: SMEM overflows past ~2k clusters
+                # and Mosaic supports scalar loads from VMEM refs
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
                 *[pl.BlockSpec(memory_space=pltpu.VMEM)] * 9,
                 *[ray_spec] * 6,
             ],
@@ -643,8 +670,10 @@ def _any_call(cs: ClusterScene, orig, direction, t_max_per_ray, cs_static, t_min
             kernel,
             grid=(chunk_rows // PROG_ROWS,),
             in_specs=[
-                pl.BlockSpec(memory_space=pltpu.SMEM),
-                pl.BlockSpec(memory_space=pltpu.SMEM),
+                # AABB tables live in VMEM: SMEM overflows past ~2k clusters
+                # and Mosaic supports scalar loads from VMEM refs
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
                 *[pl.BlockSpec(memory_space=pltpu.VMEM)] * 9,
                 *[ray_spec] * 7,
             ],
