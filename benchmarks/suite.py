@@ -91,7 +91,7 @@ def main(argv=None):
                 RenderSettings(rt_mode=1, samples=1, depth=5), w, h, n,
             ))
     if "3" in wanted or "4" in wanted or "5" in wanted:
-        city = make_city(grid=24)  # ~40k tris Sponza-class substitute
+        city = make_city(grid=96)  # ~143k tris Sponza-class substitute
         print(f"[suite] city scene: {city.num_tris} tris", file=sys.stderr)
         if "3" in wanted:
             results.append(run_engine_bench(
