@@ -97,14 +97,14 @@ def main(argv=None):
             results.append(run_engine_bench(
                 "city_full_pathtrace", city,
                 RenderSettings(rt_mode=1, samples=1, depth=4), w, h, n,
-                camera_fn=lambda t: orbit_camera(0.12, radius=30, height=10),
+                camera_fn=lambda t: orbit_camera(0.12, radius=300, height=48),
             ))
         if "4" in wanted:
             results.append(run_engine_bench(
                 "hybrid_shadows_ao_gi", city,
                 RenderSettings(rt_mode=0, use_shadows=True, use_ao=True, use_gi=True),
                 w, h, n,
-                camera_fn=lambda t: orbit_camera(0.12, radius=30, height=10),
+                camera_fn=lambda t: orbit_camera(0.12, radius=300, height=48),
             ))
         if "5" in wanted:
             results.append(run_engine_bench(
@@ -112,7 +112,7 @@ def main(argv=None):
                 RenderSettings(rt_mode=0, use_shadows=True, use_ao=True,
                                use_gi=True, use_denoiser=True),
                 w, h, n,
-                camera_fn=lambda t: orbit_camera(t, radius=30, height=10),
+                camera_fn=lambda t: orbit_camera(t, radius=300, height=48),
             ))
     return results
 
