@@ -92,3 +92,31 @@ def test_factor_mesh():
     assert factor_mesh(2) == (2, 1)
     assert factor_mesh(1) == (1, 1)
     assert factor_mesh(6) == (3, 2)
+
+
+@needs_8dev
+def test_sharded_hybrid_matches_single_device(box):
+    from vkrt_tpu.parallel.render import make_sharded_hybrid_step
+
+    tracer = make_tracer(box, "bruteforce")
+    cam = Camera().matrices(W, H)
+    mesh = make_render_mesh(n_tile=8, n_spp=1)
+    step = make_sharded_hybrid_step(
+        box, tracer, mesh, width=W, height=H, depth=3,
+        use_shadows=True, use_ao=True, use_gi=True,
+    )
+    accum = jax.device_put(
+        jnp.zeros((W * H, 4), jnp.float32),
+        jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("tile")),
+    )
+    gbuf, accum, rays = step(cam, 0, accum, jnp.ones(4, jnp.float32))
+
+    e = Engine(box, W, H, RenderSettings(rt_mode=0, use_gi=True))
+    e.render_frame()
+    np.testing.assert_allclose(
+        np.asarray(accum), np.asarray(e.accum_rt), rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(gbuf.color), np.asarray(e.gbuffer.color), rtol=1e-5, atol=1e-6
+    )
+    assert float(rays) == e.total_rays

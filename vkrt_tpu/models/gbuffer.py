@@ -72,11 +72,17 @@ def direct_lighting(scene, p, n, v, base_color, metallic, roughness):
     return acc
 
 
-def gbuffer_pass(scene, tracer, cam, width: int, height: int, clear_color) -> GBuffer:
-    """Primary rays at pixel centers -> G-buffer (replaces rasterizeGltf)."""
-    n = width * height
+def gbuffer_pass(
+    scene, tracer, cam, width: int, height: int, clear_color, pix=None
+) -> GBuffer:
+    """Primary rays at pixel centers -> G-buffer (replaces rasterizeGltf).
+
+    ``pix``: optional per-shard pixel coordinates for SPMD tiling."""
+    n = width * height if pix is None else pix.shape[0]
     dt = scene.tri_v0.dtype
-    origin, direction = generate_rays(cam, width, height, jnp.full((n, 2), 0.5, dt))
+    origin, direction = generate_rays(
+        cam, width, height, jnp.full((n, 2), 0.5, dt), pix=pix
+    )
     hi = tracer.closest(origin, direction, T_MIN, T_MAX)
     miss = ~hi.hit
     tri = jnp.maximum(hi.tri, 0)

@@ -163,19 +163,25 @@ def hybrid_frame(
     use_gi: bool,
     use_denoiser: bool,
     clamp_weights: bool = False,
+    pix=None,
+    seeds=None,
 ):
     """Full hybrid frame: G-buffer pass + RT effects + accumulation
-    (main.cpp:506-561). Returns (gbuffer, new_accum, rays)."""
-    gbuf = gbuffer_pass(scene, tracer, cam, width, height, clear_color)
-    seed = seed_pixels(width, height, frame)
-    n = width * height
+    (main.cpp:506-561). Returns (gbuffer, new_accum, rays).
+
+    ``pix``/``seeds``: optional per-shard pixel coordinates and RNG states
+    (SPMD tiling; the denoiser needs the full frame and is unavailable on
+    sharded tiles — its à-trous window would cross tile boundaries)."""
+    gbuf = gbuffer_pass(scene, tracer, cam, width, height, clear_color, pix=pix)
+    seed = seed_pixels(width, height, frame) if seeds is None else seeds
+    n = width * height if pix is None else pix.shape[0]
     new_accum, diff_rad_hitd, _, rays = hybrid_effects(
         scene, tracer, gbuf, cam, seed, frame, accum_rt,
         depth=depth, use_shadows=use_shadows, use_ao=use_ao, use_gi=use_gi,
         clamp_weights=clamp_weights,
     )
     rays = rays + jnp.asarray(float(n), jnp.float32)  # primary G-buffer rays
-    if use_denoiser and use_gi:
+    if use_denoiser and use_gi and pix is None:
         from vkrt_tpu.models.denoiser import denoise_gi
 
         filtered = denoise_gi(

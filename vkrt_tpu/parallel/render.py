@@ -76,6 +76,50 @@ def make_sharded_pathtrace_step(
     return step
 
 
+def make_sharded_hybrid_step(
+    scene, tracer, mesh: Mesh, *,
+    width: int, height: int, depth: int,
+    use_shadows: bool = True, use_ao: bool = True, use_gi: bool = False,
+):
+    """Sharded hybrid frame: pixel tiles over the 'tile' axis (the hybrid
+    pass has one sample stream, so the spp axis must be 1). The denoiser is
+    full-frame-only (à-trous windows cross tile boundaries) and is applied
+    by the caller after gathering, if desired."""
+    from vkrt_tpu.models.hybrid import hybrid_frame
+
+    n = width * height
+    n_tile = mesh.shape["tile"]
+    assert mesh.shape["spp"] == 1, "hybrid mode shards pixels only"
+    assert n % n_tile == 0, f"pixels {n} not divisible by tile axis {n_tile}"
+
+    pix_all = pixel_coords(width, height)
+    pid_all = jnp.arange(n, dtype=jnp.uint32)
+
+    def shard_body(cam, frame, accum_shard, clear_color, pix, pid):
+        seeds = tea(pid, jnp.uint32(frame))
+        gbuf, new_accum, rays = hybrid_frame(
+            scene, tracer, cam, frame, accum_shard, clear_color,
+            width=width, height=height, depth=depth,
+            use_shadows=use_shadows, use_ao=use_ao, use_gi=use_gi,
+            use_denoiser=False, pix=pix, seeds=seeds,
+        )
+        return gbuf, new_accum, jax.lax.psum(rays, ("tile", "spp"))
+
+    mapped = shard_map(
+        shard_body,
+        mesh=mesh,
+        in_specs=(P(), P(), P("tile"), P(), P("tile"), P("tile")),
+        out_specs=(P("tile"), P("tile"), P()),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def step(cam, frame, accum_rt, clear_color):
+        return mapped(cam, frame, accum_rt, clear_color, pix_all, pid_all)
+
+    return step
+
+
 def device_put_accum(mesh: Mesh, width: int, height: int):
     """Fresh accumulation image, sharded over the tile axis."""
     return jax.device_put(
