@@ -163,3 +163,94 @@ def test_textured_scene_renders():
     # red and green dominate their own squares (texture actually sampled)
     assert (center[..., 0] > center[..., 1]).any()
     assert (center[..., 1] > center[..., 0]).any()
+
+
+def test_mip_atlas_pack_and_lod_sampling():
+    from vkrt_tpu.ops.texture import pack_mip_atlas, sample_texture_lod
+
+    # 8x8 texture: level0 checker, coarser levels converge to gray
+    img = np.zeros((8, 8, 4), np.uint8)
+    img[::2, ::2] = 255
+    img[1::2, 1::2] = 255
+    img[..., 3] = 255
+    atlas, lsize, loff, nlev = pack_mip_atlas([img])
+    assert nlev[0] == 4  # 8 -> 4 -> 2 -> 1
+    assert tuple(lsize[0, 0]) == (8, 8) and tuple(lsize[0, 3]) == (1, 1)
+
+    uv = jnp.asarray([[0.31, 0.77]])
+    idx = jnp.zeros(1, jnp.int32)
+    args = (jnp.asarray(atlas), jnp.asarray(lsize), jnp.asarray(loff),
+            jnp.asarray(nlev), idx, uv)
+    # highest level = overall mean (~0.5 for a checker, 1.0 alpha)
+    top = np.asarray(sample_texture_lod(*args, jnp.asarray([10.0])))
+    np.testing.assert_allclose(top[0, :3], 0.5, atol=0.02)
+    # level 0 equals the plain bilinear sampler
+    from vkrt_tpu.ops.texture import sample_texture
+
+    lvl0 = np.asarray(sample_texture_lod(*args, jnp.asarray([0.0])))
+    plain = np.asarray(sample_texture(
+        jnp.asarray(img[None].astype(np.float32) / 255.0),
+        jnp.asarray([[8, 8]], jnp.int32), idx, uv,
+    ))
+    np.testing.assert_allclose(lvl0, plain, atol=1e-5)
+    # fractional lod sits between its neighbors
+    l15 = np.asarray(sample_texture_lod(*args, jnp.asarray([1.5])))
+    l1 = np.asarray(sample_texture_lod(*args, jnp.asarray([1.0])))
+    l2 = np.asarray(sample_texture_lod(*args, jnp.asarray([2.0])))
+    assert ((np.minimum(l1, l2) - 1e-5 <= l15) & (l15 <= np.maximum(l1, l2) + 1e-5)).all()
+    # missing texture stays white
+    white = np.asarray(sample_texture_lod(
+        *args[:4], jnp.asarray([-1]), uv, jnp.asarray([2.0])))
+    np.testing.assert_allclose(white, 1.0)
+
+
+def test_gbuffer_uses_mips_for_distant_surfaces():
+    """A checkerboard quad seen at distance must sample a coarse mip in the
+    G-buffer (gray), while a close-up view keeps the checker contrast."""
+    import jax.numpy as jnp
+
+    from vkrt_tpu.scene import build_scene
+    from vkrt_tpu.utils import gltf as gltf_mod
+    from vkrt_tpu.config import RenderSettings
+    from vkrt_tpu.engine import Engine
+    from vkrt_tpu.utils.camera import Camera
+
+    img = np.zeros((64, 64, 4), np.uint8)
+    img[::2, ::2] = 255
+    img[1::2, 1::2] = 255
+    img[..., 3] = 255
+    quad = np.asarray([[-4, -4, 0], [4, -4, 0], [4, 4, 0], [-4, 4, 0]], np.float32)
+    doc = gltf_mod.GltfDocument(
+        primitives=[gltf_mod.GltfPrimitiveInstance(
+            positions=quad, indices=np.asarray([0, 1, 2, 0, 2, 3], np.uint32),
+            normals=np.tile([0, 0, 1.0], (4, 1)).astype(np.float32),
+            tangents=None,
+            uvs=np.asarray([[0, 0], [1, 0], [1, 1], [0, 1]], np.float32),
+            material=0, world_matrix=np.eye(4),
+        )],
+        materials=[gltf_mod.GltfMaterial(
+            base_color_factor=np.ones(4, np.float32), base_color_texture=0,
+            metallic_factor=0.0,
+        )],
+        lights=[gltf_mod.GltfLight(np.asarray([0, 0, 50.0], np.float32),
+                                   np.ones(3, np.float32), 2000.0, 0)],
+        images=[gltf_mod.GltfImage(img)],
+    )
+    scene = build_scene(doc)
+
+    def hit_albedo_var(eye_z):
+        e = Engine(scene, 32, 32,
+                   RenderSettings(rt_mode=0, use_ao=False, use_shadows=False),
+                   Camera(eye=(0, 0, eye_z)))
+        e.render_frame()
+        alb_r = np.asarray(e.gbuffer.color[:, 3])
+        hit = np.abs(np.asarray(e.gbuffer.normal[:, 2])) > 0.5  # quad pixels
+        assert hit.any()
+        return float(alb_r[hit].var()), float(alb_r[hit].mean())
+
+    far_var, far_mean = hit_albedo_var(150.0)
+    near_var, near_mean = hit_albedo_var(5.0)
+    # far pixels average whole checker cells -> gray, low variance;
+    # near pixels stay bimodal black/white
+    assert far_var < near_var * 0.5, (far_var, near_var)
+    assert abs(far_mean - 0.5) < 0.1

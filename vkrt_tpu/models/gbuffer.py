@@ -86,7 +86,18 @@ def gbuffer_pass(
     hi = tracer.closest(origin, direction, T_MIN, T_MAX)
     miss = ~hi.hit
     tri = jnp.maximum(hi.tri, 0)
-    surf = surface_at_hit(scene, tri, hi.u, hi.v, direction)
+
+    # mip LOD from the primary-ray footprint: pixel angular size times hit
+    # distance gives the world-space footprint; the per-triangle UV density
+    # converts to texels (trilinear like the raster sampler's
+    # LINEAR_MIPMAP_LINEAR, hello_vulkan.cpp:489-499)
+    pixel_angle = 2.0 * jnp.abs(cam.proj_inverse[1, 1]) / float(height)
+    tex_w = scene.tex_level_size[:, 0, 0].max().astype(jnp.float32)
+    density = jnp.take(scene.tri_uv_density, tri)
+    footprint_texels = hi.t * pixel_angle * density * tex_w
+    lod = jnp.log2(jnp.maximum(footprint_texels, 1e-9))
+
+    surf = surface_at_hit(scene, tri, hi.u, hi.v, direction, lod=lod)
 
     v = normalize(-direction)
     # frag shader uses raw factors; same clamps as ray path are NOT applied

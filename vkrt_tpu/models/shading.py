@@ -47,10 +47,14 @@ class SurfaceSample(NamedTuple):
     mat_id: jnp.ndarray        # (N,) int32
 
 
-def surface_at_hit(scene, tri, u, v, ray_dir) -> SurfaceSample:
+def surface_at_hit(scene, tri, u, v, ray_dir, lod=None) -> SurfaceSample:
     """Interpolate attributes + evaluate material at hit (rchit:31-113).
 
     ``tri`` must be pre-clamped >= 0 (callers mask miss lanes).
+    ``lod``: optional (N,) continuous mip level — the G-buffer pass samples
+    trilinearly like the raster pipeline's LINEAR_MIPMAP_LINEAR sampler
+    (hello_vulkan.cpp:489-499); the path tracer passes None (level 0, like
+    the reference's RT pipeline which has no ray differentials).
     """
     w = 1.0 - u - v
     bary = jnp.stack([w, u, v], axis=-1)[..., None]  # (N,3,1)
@@ -79,23 +83,32 @@ def surface_at_hit(scene, tri, u, v, ray_dir) -> SurfaceSample:
     from vkrt_tpu.scene import scene_is_textured
 
     if scene_is_textured(scene):
+        from vkrt_tpu.ops.texture import sample_texture_lod
+
         base_tex = jnp.take(scene.mat_base_tex, mat_id)
         mr_tex = jnp.take(scene.mat_mr_tex, mat_id)
         normal_tex = jnp.take(scene.mat_normal_tex, mat_id)
         emis_tex = jnp.take(scene.mat_emissive_tex, mat_id)
-        base_color = base_factor * sample_texture(
-            scene.tex_rgba, scene.tex_size, base_tex, uv
-        )[:, :3]
-        mr = sample_texture(scene.tex_rgba, scene.tex_size, mr_tex, uv)
+
+        if lod is None:
+            def fetch(idx):
+                return sample_texture(scene.tex_rgba, scene.tex_size, idx, uv)
+        else:
+            def fetch(idx):
+                return sample_texture_lod(
+                    scene.tex_mip_atlas, scene.tex_level_size,
+                    scene.tex_level_off, scene.tex_n_levels, idx, uv, lod,
+                )
+
+        base_color = base_factor * fetch(base_tex)[:, :3]
+        mr = fetch(mr_tex)
         # roughness in G, metalness in B (gltf.glsl:40-44); no-texture => 1
         roughness = rough_f * mr[:, 1]
         metallic = metal_f * mr[:, 2]
-        emissive = emis_f * sample_texture(
-            scene.tex_rgba, scene.tex_size, emis_tex, uv
-        )[:, :3]
+        emissive = emis_f * fetch(emis_tex)[:, :3]
         # Normal mapping (rchit:93-106): TBN = (worldTag, worldBin, worldNrm);
         # when a normal texture exists the frame is rebuilt around texNormal.
-        tex_n_rgb = sample_texture(scene.tex_rgba, scene.tex_size, normal_tex, uv)[:, :3]
+        tex_n_rgb = fetch(normal_tex)[:, :3]
         mapped = normalize(tex_n_rgb * 2.0 - 1.0)
         mapped_world = normalize(
             local_to_world(mapped, world_tag, world_bin, world_nrm)

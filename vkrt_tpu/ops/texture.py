@@ -62,6 +62,94 @@ def sample_texture(tex_rgba, tex_size, tex_idx, uv):
     return jnp.where((tex_idx >= 0)[:, None], c, 1.0)
 
 
+def pack_mip_atlas(images, srgb_flags=None):
+    """Pack per-image mip pyramids into one atlas.
+
+    Levels sit side by side horizontally (level l of a WxH texture at
+    x-offset W*(2 - 2^(1-l)) in a 2W-wide strip), so one (K, TH, 2*TW, 4)
+    array carries every level of every texture and lookups stay single-array
+    gathers. Returns (atlas (K,TH,2TW,4) f32 linear, level_size (K,L,2) i32
+    (w,h), level_off (K,L) i32 x-offsets, n_levels (K,) i32).
+    """
+    from vkrt_tpu.scene import srgb_to_linear
+
+    k = len(images)
+    th = max(im.shape[0] for im in images)
+    tw = max(im.shape[1] for im in images)
+    lmax = max(1, int(np.ceil(np.log2(max(th, tw)))) + 1)
+    atlas = np.zeros((k, th, 2 * tw, 4), np.float32)
+    level_size = np.zeros((k, lmax, 2), np.int32)
+    level_off = np.zeros((k, lmax), np.int32)
+    n_levels = np.zeros(k, np.int32)
+    for i, im in enumerate(images):
+        f = im.astype(np.float32) / 255.0
+        if srgb_flags is not None and srgb_flags[i]:
+            f = np.concatenate([srgb_to_linear(f[..., :3]), f[..., 3:]], axis=-1)
+        levels = build_mip_pyramid(f)
+        n_levels[i] = len(levels)
+        x = 0
+        for l, lev in enumerate(levels[:lmax]):
+            h, w = lev.shape[:2]
+            atlas[i, :h, x : x + w] = lev
+            level_size[i, l] = (w, h)
+            level_off[i, l] = x
+            x += w
+        # clamp the tail so out-of-range lods sample the last level
+        for l in range(len(levels), lmax):
+            level_size[i, l] = level_size[i, len(levels) - 1]
+            level_off[i, l] = level_off[i, len(levels) - 1]
+    return atlas, level_size, level_off, n_levels
+
+
+def _bilinear_at_level(tex_flat, k, th, tw2, uv, w, h, xoff):
+    u = uv[:, 0] - jnp.floor(uv[:, 0])
+    v = uv[:, 1] - jnp.floor(uv[:, 1])
+    wf = w.astype(jnp.float32)
+    hf = h.astype(jnp.float32)
+    fx = u * wf - 0.5
+    fy = v * hf - 0.5
+    x0 = jnp.floor(fx)
+    y0 = jnp.floor(fy)
+    ax = (fx - x0)[:, None]
+    ay = (fy - y0)[:, None]
+    x0i = jnp.mod(x0.astype(jnp.int32), w) + xoff
+    x1i = jnp.mod(x0.astype(jnp.int32) + 1, w) + xoff
+    y0i = jnp.mod(y0.astype(jnp.int32), h)
+    y1i = jnp.mod(y0.astype(jnp.int32) + 1, h)
+    c00 = _gather_texel(tex_flat, k, y0i, x0i, th, tw2)
+    c10 = _gather_texel(tex_flat, k, y0i, x1i, th, tw2)
+    c01 = _gather_texel(tex_flat, k, y1i, x0i, th, tw2)
+    c11 = _gather_texel(tex_flat, k, y1i, x1i, th, tw2)
+    return (
+        c00 * (1 - ax) * (1 - ay)
+        + c10 * ax * (1 - ay)
+        + c01 * (1 - ax) * ay
+        + c11 * ax * ay
+    )
+
+
+def sample_texture_lod(atlas, level_size, level_off, n_levels, tex_idx, uv, lod):
+    """Trilinear mip sample (the GL_LINEAR_MIPMAP_LINEAR the reference's
+    sampler requests, hello_vulkan.cpp:489-499). tex_idx (N,) (-1 => white),
+    uv (N,2), lod (N,) continuous level-of-detail. Returns (N,4)."""
+    k_all, th, tw2, _ = atlas.shape
+    tex_flat = atlas.reshape(k_all * th * tw2, 4)
+    k = jnp.maximum(tex_idx, 0)
+    max_l = (jnp.take(n_levels, k) - 1).astype(jnp.float32)
+    lod_c = jnp.clip(lod, 0.0, max_l)
+    l0 = jnp.floor(lod_c).astype(jnp.int32)
+    l1 = jnp.minimum(l0 + 1, max_l.astype(jnp.int32))
+    frac = (lod_c - l0.astype(jnp.float32))[:, None]
+
+    def level(li):
+        sz = level_size[k, li]
+        off = level_off[k, li]
+        return _bilinear_at_level(tex_flat, k, th, tw2, uv, sz[:, 0], sz[:, 1], off)
+
+    c = level(l0) * (1 - frac) + level(l1) * frac
+    return jnp.where((tex_idx >= 0)[:, None], c, 1.0)
+
+
 def build_mip_pyramid(image: np.ndarray):
     """Full mip chain by 2x2 box filter (cmdGenerateMipmaps equivalent,
     hello_vulkan.cpp:499). Host-side numpy; returns list level0..levelN."""

@@ -54,8 +54,16 @@ class SceneArrays(NamedTuple):
     light_intensity: jnp.ndarray  # (L,)
     light_type: jnp.ndarray       # (L,) i32
     # textures: stacked, padded to common (TH,TW); linear color space
-    tex_rgba: jnp.ndarray  # (K,TH,TW,4) f32
+    tex_rgba: jnp.ndarray  # (K,TH,TW,4) f32 (level 0)
     tex_size: jnp.ndarray  # (K,2) i32  (w,h)
+    # full mip chains (hello_vulkan.cpp:499) packed side-by-side per texture
+    tex_mip_atlas: jnp.ndarray   # (K,TH,2*TW,4) f32
+    tex_level_size: jnp.ndarray  # (K,L,2) i32
+    tex_level_off: jnp.ndarray   # (K,L) i32
+    tex_n_levels: jnp.ndarray    # (K,) i32
+    # per-triangle sqrt(uv area / world area): texels-per-world-unit when
+    # multiplied by the texture width; drives mip LOD selection
+    tri_uv_density: jnp.ndarray  # (T,) f32
 
     @property
     def num_tris(self) -> int:
@@ -231,6 +239,23 @@ def build_scene(
         tex[k, : im.shape[0], : im.shape[1]] = f
         tex_size[k] = (im.shape[1], im.shape[0])
 
+    from vkrt_tpu.ops.texture import pack_mip_atlas
+
+    atlas, level_size, level_off, n_levels = pack_mip_atlas(
+        images, [k in srgb_images for k in range(len(images))]
+    )
+
+    # per-triangle UV density for mip LOD (sqrt of uv/world area ratio)
+    e1f = (v1 - v0).astype(np.float64)
+    e2f = (v2 - v0).astype(np.float64)
+    world_area = 0.5 * np.linalg.norm(np.cross(e1f, e2f), axis=-1)
+    duv1 = (cuv[:, 1] - cuv[:, 0]).astype(np.float64)
+    duv2 = (cuv[:, 2] - cuv[:, 0]).astype(np.float64)
+    uv_area = 0.5 * np.abs(duv1[:, 0] * duv2[:, 1] - duv1[:, 1] * duv2[:, 0])
+    density = np.sqrt(
+        np.where(world_area > 1e-20, uv_area / np.maximum(world_area, 1e-20), 0.0)
+    ).astype(np.float32)
+
     return SceneArrays(
         tri_v0=jnp.asarray(v0, dtype),
         tri_e1=jnp.asarray(v1 - v0, dtype),
@@ -257,6 +282,11 @@ def build_scene(
         light_type=jnp.asarray([l.type for l in lights], jnp.int32),
         tex_rgba=jnp.asarray(tex, dtype),
         tex_size=jnp.asarray(tex_size, jnp.int32),
+        tex_mip_atlas=jnp.asarray(atlas, dtype),
+        tex_level_size=jnp.asarray(level_size, jnp.int32),
+        tex_level_off=jnp.asarray(level_off, jnp.int32),
+        tex_n_levels=jnp.asarray(n_levels, jnp.int32),
+        tri_uv_density=jnp.asarray(density, dtype),
     )
 
 
