@@ -139,15 +139,20 @@ class Engine:
 
     def render_frame(self):
         """One main-loop iteration. Returns the linear composite (N,3)."""
+        from vkrt_tpu.utils.profiling import pass_label
+
         self.update_frame()
         s = self.settings
         at_limit = s.stop_at_max_frames and self.frame >= s.max_frames
         cam = self.camera.matrices(self.width, self.height)
         if s.rt_mode == 1:
             if not at_limit:  # early-out keeps the image (hello_vulkan.cpp:1426)
-                self.accum, rays = self._step(
-                    cam, self.frame, self.accum, self.clear_color
-                )
+                # named region in device traces — the beginLabel/endLabel
+                # equivalent (hello_vulkan.cpp:1432-1447)
+                with pass_label("pathtrace"):
+                    self.accum, rays = self._step(
+                        cam, self.frame, self.accum, self.clear_color
+                    )
                 self.total_rays += float(rays)
             return post_mod.composite(
                 None, jnp.concatenate(
@@ -156,9 +161,10 @@ class Engine:
                 rt_mode=1, view_accumulated=s.view_accumulated, use_gi=s.use_gi,
             )
         if not at_limit:
-            self.gbuffer, self.accum_rt, rays = self._step(
-                cam, self.frame, self.accum_rt, self.clear_color
-            )
+            with pass_label("hybrid"):  # (hello_vulkan.cpp:587/1459 labels)
+                self.gbuffer, self.accum_rt, rays = self._step(
+                    cam, self.frame, self.accum_rt, self.clear_color
+                )
             self.total_rays += float(rays)
         return post_mod.composite(
             self.gbuffer.color[:, :3],

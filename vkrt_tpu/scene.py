@@ -351,13 +351,70 @@ def _box(center, half, rot_y: float = 0.0):
     return tris
 
 
+def _box_uvs(half, tile: float = 1.0):
+    """Per-corner UVs matching _box's 12 triangles: each face mapped 0..extent
+    so textures tile with world size."""
+    hx, hy, hz = half
+    out = []
+
+    def quad_uv(su, sv):
+        a, b, c, d = (0, 0), (su, 0), (su, sv), (0, sv)
+        out.extend([(a, b, c), (a, c, d)])
+
+    quad_uv(2 * hx * tile, 2 * hy * tile)  # +z
+    quad_uv(2 * hx * tile, 2 * hy * tile)  # -z
+    quad_uv(2 * hz * tile, 2 * hy * tile)  # +x
+    quad_uv(2 * hz * tile, 2 * hy * tile)  # -x
+    quad_uv(2 * hx * tile, 2 * hz * tile)  # +y
+    quad_uv(2 * hx * tile, 2 * hz * tile)  # -y
+    return out
+
+
+def _procedural_textures():
+    """Checker / brick / window-grid images for the city stand-in."""
+    rng = np.random.default_rng(42)
+    checker = np.zeros((64, 64, 4), np.uint8)
+    checker[..., :3] = 110
+    checker[:32, :32, :3] = 190
+    checker[32:, 32:, :3] = 190
+    checker[..., 3] = 255
+
+    brick = np.full((64, 64, 4), 150, np.uint8)
+    brick[..., :3] = (160, 82, 60)
+    for row in range(0, 64, 16):
+        brick[row : row + 2, :, :3] = 200  # mortar lines
+        off = 0 if (row // 16) % 2 == 0 else 16
+        for col in range(off, 64, 32):
+            brick[row : row + 16, col : col + 2, :3] = 200
+    brick[..., :3] = np.clip(
+        brick[..., :3].astype(np.int16) + rng.integers(-12, 12, (64, 64, 1)), 0, 255
+    ).astype(np.uint8)
+    brick[..., 3] = 255
+
+    windows = np.full((64, 64, 4), 70, np.uint8)
+    windows[..., :3] = (90, 95, 105)
+    for row in range(4, 64, 16):
+        for col in range(4, 64, 16):
+            windows[row : row + 8, col : col + 8, :3] = (30, 40, 70)
+    windows[..., 3] = 255
+    return [
+        gltf_mod.GltfImage(checker, "checker"),
+        gltf_mod.GltfImage(brick, "brick"),
+        gltf_mod.GltfImage(windows, "windows"),
+    ]
+
+
 def scene_from_soup(
     tris: List,
     mat_ids: List[int],
     materials: List[gltf_mod.GltfMaterial],
     lights: List[gltf_mod.GltfLight],
+    images: Optional[List[gltf_mod.GltfImage]] = None,
+    uvs: Optional[np.ndarray] = None,
 ) -> SceneArrays:
-    """Assemble SceneArrays from python triangle lists (flat normals)."""
+    """Assemble SceneArrays from python triangle lists (flat normals).
+
+    ``uvs``: optional (T, 3, 2) per-corner texture coordinates."""
     arr = np.asarray(tris, np.float32)  # (T,3,3)
     doc = gltf_mod.GltfDocument(
         primitives=[
@@ -366,14 +423,14 @@ def scene_from_soup(
                 indices=np.arange(arr.size // 3, dtype=np.uint32),
                 normals=None,
                 tangents=None,
-                uvs=None,
+                uvs=None if uvs is None else np.asarray(uvs, np.float32).reshape(-1, 2),
                 material=0,
                 world_matrix=np.eye(4),
             )
         ],
         materials=materials,
         lights=lights,
-        images=[],
+        images=images or [],
     )
     built = build_scene(doc)
     mat = np.zeros(built.tri_mat.shape[0], np.int32)
@@ -450,30 +507,40 @@ def make_city(grid: int = 16, seed: int = 7) -> SceneArrays:
     Gives the BVH a real workload (thousands to hundreds of thousands of
     triangles with uneven density) for the Sponza-class benchmark configs."""
     rng = np.random.default_rng(seed)
-    tris, mat_ids = [], []
+    tris, mat_ids, uvs = [], [], []
     mats = [
-        gltf_mod.GltfMaterial(np.array([0.7, 0.7, 0.68, 1], np.float32), metallic_factor=0.0),
-        gltf_mod.GltfMaterial(np.array([0.6, 0.3, 0.2, 1], np.float32), metallic_factor=0.0),
-        gltf_mod.GltfMaterial(np.array([0.8, 0.8, 0.85, 1], np.float32), roughness_factor=0.2),
-        gltf_mod.GltfMaterial(np.array([0.25, 0.3, 0.4, 1], np.float32), metallic_factor=0.8,
-                              roughness_factor=0.3),
+        gltf_mod.GltfMaterial(np.array([0.7, 0.7, 0.68, 1], np.float32),
+                              metallic_factor=0.0, base_color_texture=0),  # checker
+        gltf_mod.GltfMaterial(np.array([1.0, 1.0, 1.0, 1], np.float32),
+                              metallic_factor=0.0, base_color_texture=1),  # brick
+        gltf_mod.GltfMaterial(np.array([0.8, 0.8, 0.85, 1], np.float32),
+                              roughness_factor=0.2),
+        gltf_mod.GltfMaterial(np.array([1.0, 1.0, 1.0, 1], np.float32),
+                              metallic_factor=0.3, roughness_factor=0.4,
+                              base_color_texture=2),  # window grid
     ]
 
-    def add(ts, mid):
+    def add(ts, mid, half=None, tile=0.5):
         tris.extend(ts)
         mat_ids.extend([mid] * len(ts))
+        uvs.extend(_box_uvs(half, tile) if half is not None
+                   else [((0, 0), (1, 0), (1, 1))] * len(ts))
 
     span = grid * 2.0
-    add(_box((0, -0.25, 0), (span, 0.25, span)), 0)  # ground slab
+    add(_box((0, -0.25, 0), (span, 0.25, span)), 0,
+        half=(span, 0.25, span), tile=0.25)  # ground slab
     for i in range(grid):
         for j in range(grid):
             x = (i - grid / 2) * 4.0 + rng.uniform(-0.5, 0.5)
             z = (j - grid / 2) * 4.0 + rng.uniform(-0.5, 0.5)
             h = rng.uniform(1.0, 8.0)
             w = rng.uniform(0.6, 1.6)
-            add(_box((x, h / 2, z), (w, h / 2, w), rng.uniform(0, 3.14)), int(rng.integers(1, 4)))
+            half = (w, h / 2, w)
+            add(_box((x, h / 2, z), half, rng.uniform(0, 3.14)),
+                int(rng.integers(1, 4)), half=half)
             if rng.uniform() < 0.3:  # rooftop structure
-                add(_box((x, h + 0.4, z), (w * 0.4, 0.4, w * 0.4)), 2)
+                rh = (w * 0.4, 0.4, w * 0.4)
+                add(_box((x, h + 0.4, z), rh), 2, half=rh)
     lights = [
         gltf_mod.GltfLight(
             np.array([rng.uniform(-span / 2, span / 2), rng.uniform(6, 14),
@@ -484,7 +551,10 @@ def make_city(grid: int = 16, seed: int = 7) -> SceneArrays:
         )
         for _ in range(4)
     ]
-    return scene_from_soup(tris, mat_ids, mats, lights)
+    return scene_from_soup(
+        tris, mat_ids, mats, lights,
+        images=_procedural_textures(), uvs=np.asarray(uvs, np.float32),
+    )
 
 
 def find_reference_cornell() -> Optional[str]:
