@@ -8,10 +8,12 @@ hot ``traceRayEXT`` loop. Design (see SURVEY.md §7 hard-parts):
   **superclusters of 16**. Cluster/super AABBs live in SMEM, triangle SoA
   components in VMEM as (T_pad, 1) column vectors.
 * One kernel program processes a **block of 1024 rays** (an (8, 128) tile per
-  ray component). For each supercluster, then each cluster, the block takes a
-  slab-test **vote** — a vector AABB test against all 1024 rays reduced to one
-  scalar — and *branches over the whole triangle batch* when nobody can hit
-  it. Scalar-predicated skipping is exactly what XLA's vectorized model
+  ray component). Per supercluster word, the block takes slab-test **votes**:
+  per-lane hit bits for up to WORD boxes OR-fold into ONE scalar bitmask
+  (3 sublane folds + 7 lane rotations + one reduction — per-box ``jnp.any``
+  syncs cost ~400 cycles each and dominated the kernel), then only the set
+  bits are visited (popcount/ctz iteration, no branches). Work-skipping by
+  data-dependent scalar control is exactly what XLA's vectorized model
   cannot express and where Pallas earns its keep; with coherent rays this
   cuts tested triangles by 1-2 orders of magnitude.
 * Surviving clusters run an all-vector Möller-Trumbore: triangle components
@@ -366,6 +368,41 @@ def _vote_word(aabb_ref, base, count, ox, oy, oz, ix, iy, iz, t_min, t_lim):
     return _or_reduce_scalar(m)
 
 
+def _popcount32(x):
+    """Scalar population count (uint32)."""
+    x = x - ((x >> 1) & jnp.uint32(0x55555555))
+    x = (x & jnp.uint32(0x33333333)) + ((x >> 2) & jnp.uint32(0x33333333))
+    x = (x + (x >> 4)) & jnp.uint32(0x0F0F0F0F)
+    return ((x * jnp.uint32(0x01010101)) >> 24).astype(jnp.int32)
+
+
+def _ctz32(x):
+    """Scalar count-trailing-zeros (x != 0), 5-step binary search."""
+    c = jnp.int32(0)
+    for shift, mask in ((16, 0xFFFF), (8, 0xFF), (4, 0xF), (2, 0x3), (1, 0x1)):
+        low = x & jnp.uint32(mask)
+        zero = low == 0
+        c = c + jnp.where(zero, shift, 0)
+        x = jnp.where(zero, x >> shift, x)
+    return c
+
+
+def _for_each_set_bit(word, body):
+    """Run ``body(bit_index)`` for every set bit of the scalar vote word.
+
+    Iterating only voted entries (popcount iterations, next bit by ctz)
+    replaces the dense fori + pl.when pattern whose per-iteration scalar
+    overhead dominated the kernel (tri work measured ~free; votes + loop
+    machinery were ~100% of runtime)."""
+    word_u = word.astype(jnp.uint32)
+
+    def step(_, w):
+        body(_ctz32(w))
+        return w & (w - jnp.uint32(1))
+
+    jax.lax.fori_loop(0, _popcount32(word_u), step, word_u)
+
+
 def _closest_kernel(
     n_super: int,
     t_min: float,
@@ -447,15 +484,7 @@ def _closest_kernel(
                 cluster_ref, s * SUPER, SUPER, ox, oy, oz, ix, iy, iz,
                 t_min, t_out[sl, :],
             )
-
-            def cluster_body(k, _):
-                @pl.when(((cword >> k) & 1) != 0)
-                def _do():
-                    cluster_work(s * SUPER + k)
-
-                return 0
-
-            jax.lax.fori_loop(0, SUPER, cluster_body, 0)
+            _for_each_set_bit(cword, lambda k: cluster_work(s * SUPER + k))
 
         for w in range(-(-n_super // WORD)):  # static words of <= WORD supers
             count = min(WORD, n_super - w * WORD)
@@ -463,15 +492,9 @@ def _closest_kernel(
                 super_ref, w * WORD, count, ox, oy, oz, ix, iy, iz,
                 t_min, t_out[sl, :],
             )
-
-            def super_body(sb, _, w=w, sword=sword, visit_super=visit_super):
-                @pl.when(((sword >> sb) & 1) != 0)
-                def _do():
-                    visit_super(w * WORD + sb)
-
-                return 0
-
-            jax.lax.fori_loop(0, count, super_body, 0)
+            _for_each_set_bit(
+                sword, lambda sb, w=w: visit_super(w * WORD + sb)
+            )
 
 
 def _any_kernel(
@@ -530,15 +553,7 @@ def _any_kernel(
                 cluster_ref, s * SUPER, SUPER, ox, oy, oz, ix, iy, iz,
                 t_min, t_live,
             )
-
-            def cluster_body(k, _):
-                @pl.when(((cword >> k) & 1) != 0)
-                def _do():
-                    cluster_work(s * SUPER + k)
-
-                return 0
-
-            jax.lax.fori_loop(0, SUPER, cluster_body, 0)
+            _for_each_set_bit(cword, lambda k: cluster_work(s * SUPER + k))
 
         for w in range(-(-n_super // WORD)):  # static words of <= WORD supers
             count = min(WORD, n_super - w * WORD)
@@ -548,15 +563,9 @@ def _any_kernel(
                 super_ref, w * WORD, count, ox, oy, oz, ix, iy, iz,
                 t_min, t_live_w,
             )
-
-            def super_body(sb, _, w=w, sword=sword, visit_super=visit_super):
-                @pl.when(((sword >> sb) & 1) != 0)
-                def _do():
-                    visit_super(w * WORD + sb)
-
-                return 0
-
-            jax.lax.fori_loop(0, count, super_body, 0)
+            _for_each_set_bit(
+                sword, lambda sb, w=w: visit_super(w * WORD + sb)
+            )
 
 
 # Rows of 128 rays per lax.map chunk. Chunking bounds the scoped-VMEM
