@@ -571,7 +571,7 @@ def _any_kernel(
 # Rows of 128 rays per lax.map chunk. Chunking bounds the scoped-VMEM
 # footprint XLA assigns to the kernel's operands/outputs when the call sits
 # inside the frame loop (whole-frame buffers tripped compile-time VMEM OOM).
-CHUNK_ROWS = 1200  # must be a PROG_ROWS multiple
+CHUNK_ROWS = 1200  # must be a PROG_ROWS multiple; bounds scoped-VMEM at any resolution
 
 
 def _pad_rays(orig, direction):
