@@ -31,6 +31,14 @@ def enable(cache_dir: str = None) -> None:
     _extend_libtpu_args()
     import jax
 
+    try:
+        if jax.default_backend() != "tpu":
+            # CPU AOT cache entries are machine-feature specific (the remote
+            # compile helper's CPU differs from this host; XLA warns of
+            # potential SIGILL when loading them) — cache TPU programs only.
+            return
+    except Exception:
+        return
     cache_dir = cache_dir or os.environ.get("VKRT_XLA_CACHE", _DEFAULT_DIR)
     os.makedirs(cache_dir, exist_ok=True)
     try:
