@@ -64,14 +64,6 @@ class ClusterScene(NamedTuple):
     tri_remap: jnp.ndarray     # (T_pad,) i32: packed slot -> original tri id
     n_clusters: int
     n_super: int
-    # plane-based precomputation for the matmul (v2) kernel: for each
-    # 32-triangle matmul group, rows [n*32 normals | s1 | s2] stacked as
-    # (n_groups*96, 3), plus per-tri offsets (T_pad, 1): c = n.v0, u0 = -v0.s1,
-    # w0 = -v0.s2. Derivation: t = (c - n.o)/(n.d); u = s1.(o + t d) + u0.
-    plane_mat: jnp.ndarray   # (n_groups*96, 3) f32
-    plane_c: jnp.ndarray     # (T_pad, 1) f32
-    plane_u0: jnp.ndarray    # (T_pad, 1) f32
-    plane_w0: jnp.ndarray    # (T_pad, 1) f32
 
 
 def build_cluster_scene(tri_v0, tri_e1, tri_e2) -> ClusterScene:
@@ -117,7 +109,6 @@ def _pack_cluster_scene_from_order(
         out[:, :6] = boxes
         return jnp.asarray(out)
 
-    plane = _plane_precompute(tri_cols)
     return ClusterScene(
         tri_cols=tri_cols,
         cluster_aabb=pack_aabb(cluster_aabb),
@@ -125,10 +116,6 @@ def _pack_cluster_scene_from_order(
         tri_remap=jnp.asarray(np.where(valid, tri_order, 0).astype(np.int32)),
         n_clusters=int(n_clusters),
         n_super=int(n_super),
-        plane_mat=plane[0],
-        plane_c=plane[1],
-        plane_u0=plane[2],
-        plane_w0=plane[3],
     )
 
 
@@ -201,7 +188,6 @@ def _build_cluster_scene_morton(tri_v0, tri_e1, tri_e2) -> ClusterScene:
         out[:, 3:6] = mx
         return jnp.asarray(out)
 
-    plane = _plane_precompute(tri_cols)
     return ClusterScene(
         tri_cols=tri_cols,
         cluster_aabb=pack_aabb(cmin, cmax),
@@ -209,47 +195,6 @@ def _build_cluster_scene_morton(tri_v0, tri_e1, tri_e2) -> ClusterScene:
         tri_remap=jnp.asarray(remap),
         n_clusters=n_clusters_pad,
         n_super=n_super,
-        plane_mat=plane[0],
-        plane_c=plane[1],
-        plane_u0=plane[2],
-        plane_w0=plane[3],
-    )
-
-
-MM_GROUP = 32  # triangles per plane-precompute group
-
-
-def _plane_precompute(tri_cols):
-    """Plane/barycentric precomputation from packed component rows."""
-    cols = [np.asarray(c).reshape(-1) for c in tri_cols]
-    v0 = np.stack(cols[0:3], -1).astype(np.float64)
-    e1 = np.stack(cols[3:6], -1).astype(np.float64)
-    e2 = np.stack(cols[6:9], -1).astype(np.float64)
-    n = np.cross(e1, e2)
-    c = (n * v0).sum(-1)
-    d11 = (e1 * e1).sum(-1)
-    d22 = (e2 * e2).sum(-1)
-    d12 = (e1 * e2).sum(-1)
-    det = d11 * d22 - d12 * d12
-    inv = np.where(np.abs(det) > 1e-24, 1.0 / np.where(det == 0, 1, det), 0.0)
-    s1 = (d22[:, None] * e1 - d12[:, None] * e2) * inv[:, None]
-    s2 = (d11[:, None] * e2 - d12[:, None] * e1) * inv[:, None]
-    u0 = -(v0 * s1).sum(-1)
-    w0 = -(v0 * s2).sum(-1)
-    t_pad = len(v0)
-    n_groups = t_pad // MM_GROUP
-    mat = np.zeros((n_groups * 3 * MM_GROUP, 3), np.float32)
-    for g in range(n_groups):
-        s, e = g * MM_GROUP, (g + 1) * MM_GROUP
-        base = g * 3 * MM_GROUP
-        mat[base : base + MM_GROUP] = n[s:e]
-        mat[base + MM_GROUP : base + 2 * MM_GROUP] = s1[s:e]
-        mat[base + 2 * MM_GROUP : base + 3 * MM_GROUP] = s2[s:e]
-    return (
-        jnp.asarray(mat),
-        jnp.asarray(c[:, None], jnp.float32),
-        jnp.asarray(u0[:, None], jnp.float32),
-        jnp.asarray(w0[:, None], jnp.float32),
     )
 
 
