@@ -357,8 +357,18 @@ def _closest_kernel(
     *rest,
 ):
     tri_refs = rest[:9]
-    ox_r, oy_r, oz_r, dx_r, dy_r, dz_r = rest[9:15]
-    t_out, idx_out, u_out, v_out = rest[15:19]
+    rays_ref, out_ref = rest[9], rest[10]
+    # rays arrive as ONE packed (PROG_ROWS, 6*128) block and results leave as
+    # ONE packed (PROG_ROWS, 4*128) block ([t | idx-bits | u | v]): a single
+    # DMA each way instead of ten — small-block DMA latency (~2-3us each,
+    # poorly overlapped) was a large share of the per-program floor.
+    rays = rays_ref[:]
+    ox_a = rays[:, 0 * LANES : 1 * LANES]
+    oy_a = rays[:, 1 * LANES : 2 * LANES]
+    oz_a = rays[:, 2 * LANES : 3 * LANES]
+    dx_a = rays[:, 3 * LANES : 4 * LANES]
+    dy_a = rays[:, 4 * LANES : 5 * LANES]
+    dz_a = rays[:, 5 * LANES : 6 * LANES]
 
     def safe_inv(d):
         return pl.reciprocal(
@@ -366,10 +376,17 @@ def _closest_kernel(
             approx=False,
         )
 
-    t_out[:] = jnp.full((PROG_ROWS, LANES), INF, jnp.float32)
-    idx_out[:] = jnp.full((PROG_ROWS, LANES), -1, jnp.int32)
-    u_out[:] = jnp.zeros((PROG_ROWS, LANES), jnp.float32)
-    v_out[:] = jnp.zeros((PROG_ROWS, LANES), jnp.float32)
+    neg1_bits = pltpu.bitcast(
+        jnp.full((PROG_ROWS, LANES), -1, jnp.int32), jnp.float32
+    )
+    out_ref[:] = jnp.concatenate(
+        [
+            jnp.full((PROG_ROWS, LANES), INF, jnp.float32),
+            neg1_bits,
+            jnp.zeros((PROG_ROWS, 2 * LANES), jnp.float32),
+        ],
+        axis=1,
+    )
 
     sub_iota = jax.lax.broadcasted_iota(jnp.int32, (GROUP, LANES), 0)
 
@@ -378,8 +395,8 @@ def _closest_kernel(
     for sub in range(SUBS):
         rb = sub * BLOCK_ROWS
         sl = pl.ds(rb, BLOCK_ROWS)
-        ox, oy, oz = ox_r[sl, :], oy_r[sl, :], oz_r[sl, :]
-        dx, dy, dz = dx_r[sl, :], dy_r[sl, :], dz_r[sl, :]
+        ox, oy, oz = ox_a[rb : rb + BLOCK_ROWS], oy_a[rb : rb + BLOCK_ROWS], oz_a[rb : rb + BLOCK_ROWS]
+        dx, dy, dz = dx_a[rb : rb + BLOCK_ROWS], dy_a[rb : rb + BLOCK_ROWS], dz_a[rb : rb + BLOCK_ROWS]
         ix, iy, iz = safe_inv(dx), safe_inv(dy), safe_inv(dz)
 
         def cluster_work(c, ox=ox, oy=oy, oz=oz, dx=dx, dy=dy, dz=dz, rb=rb):
@@ -393,10 +410,12 @@ def _closest_kernel(
                 dyr = dy[row : row + 1, :]
                 dzr = dz[row : row + 1, :]
                 r = rb + row
-                t_row = t_out[r : r + 1, :]
-                idx_row = idx_out[r : r + 1, :]
-                u_row = u_out[r : r + 1, :]
-                v_row = v_out[r : r + 1, :]
+                t_row = out_ref[r : r + 1, 0:LANES]
+                idx_row = pltpu.bitcast(
+                    out_ref[r : r + 1, LANES : 2 * LANES], jnp.int32
+                )
+                u_row = out_ref[r : r + 1, 2 * LANES : 3 * LANES]
+                v_row = out_ref[r : r + 1, 3 * LANES : 4 * LANES]
                 for g in range(CLUSTER // GROUP):
                     base = c * CLUSTER + g * GROUP
                     t_c, u_c, v_c, valid = _mt_group(
@@ -418,16 +437,21 @@ def _closest_kernel(
                     idx_row = jnp.where(improved, idx_g, idx_row)
                     u_row = jnp.where(improved, u_g, u_row)
                     v_row = jnp.where(improved, v_g, v_row)
-                t_out[r : r + 1, :] = t_row
-                idx_out[r : r + 1, :] = idx_row
-                u_out[r : r + 1, :] = u_row
-                v_out[r : r + 1, :] = v_row
+                out_ref[r : r + 1, 0:LANES] = t_row
+                out_ref[r : r + 1, LANES : 2 * LANES] = pltpu.bitcast(
+                    idx_row, jnp.float32
+                )
+                out_ref[r : r + 1, 2 * LANES : 3 * LANES] = u_row
+                out_ref[r : r + 1, 3 * LANES : 4 * LANES] = v_row
+
+        def t_best(sl=sl):
+            return out_ref[sl, 0:LANES]
 
         def visit_super(s, ox=ox, oy=oy, oz=oz, ix=ix, iy=iy, iz=iz,
-                        cluster_work=cluster_work, sl=sl):
+                        cluster_work=cluster_work, t_best=t_best):
             cword = _vote_word(
                 cluster_ref, s * SUPER, SUPER, ox, oy, oz, ix, iy, iz,
-                t_min, t_out[sl, :],
+                t_min, t_best(),
             )
             _for_each_set_bit(cword, lambda k: cluster_work(s * SUPER + k))
 
@@ -435,7 +459,7 @@ def _closest_kernel(
             count = min(WORD, n_super - w * WORD)
             sword = _vote_word(
                 super_ref, w * WORD, count, ox, oy, oz, ix, iy, iz,
-                t_min, t_out[sl, :],
+                t_min, t_best(),
             )
             _for_each_set_bit(
                 sword, lambda sb, w=w: visit_super(w * WORD + sb)
@@ -450,8 +474,15 @@ def _any_kernel(
     *rest,
 ):
     tri_refs = rest[:9]
-    ox_r, oy_r, oz_r, dx_r, dy_r, dz_r, tmax_r = rest[9:16]
-    hit_out = rest[16]
+    rays_ref, hit_out = rest[9], rest[10]
+    rays = rays_ref[:]  # (PROG_ROWS, 7*128): o, d, tmax packed
+    ox_a = rays[:, 0 * LANES : 1 * LANES]
+    oy_a = rays[:, 1 * LANES : 2 * LANES]
+    oz_a = rays[:, 2 * LANES : 3 * LANES]
+    dx_a = rays[:, 3 * LANES : 4 * LANES]
+    dy_a = rays[:, 4 * LANES : 5 * LANES]
+    dz_a = rays[:, 5 * LANES : 6 * LANES]
+    tm_a = rays[:, 6 * LANES : 7 * LANES]
 
     def safe_inv(d):
         return pl.reciprocal(
@@ -464,9 +495,9 @@ def _any_kernel(
     for sub in range(SUBS):
         rb = sub * BLOCK_ROWS
         sl = pl.ds(rb, BLOCK_ROWS)
-        ox, oy, oz = ox_r[sl, :], oy_r[sl, :], oz_r[sl, :]
-        dx, dy, dz = dx_r[sl, :], dy_r[sl, :], dz_r[sl, :]
-        tmax = tmax_r[sl, :]
+        ox, oy, oz = ox_a[rb : rb + BLOCK_ROWS], oy_a[rb : rb + BLOCK_ROWS], oz_a[rb : rb + BLOCK_ROWS]
+        dx, dy, dz = dx_a[rb : rb + BLOCK_ROWS], dy_a[rb : rb + BLOCK_ROWS], dz_a[rb : rb + BLOCK_ROWS]
+        tmax = tm_a[rb : rb + BLOCK_ROWS]
         ix, iy, iz = safe_inv(dx), safe_inv(dy), safe_inv(dz)
 
         def cluster_work(c, ox=ox, oy=oy, oz=oz, dx=dx, dy=dy, dz=dz,
@@ -519,39 +550,38 @@ def _any_kernel(
 CHUNK_ROWS = 1200  # must be a PROG_ROWS multiple; bounds scoped-VMEM at any resolution
 
 
-def _pad_rays(orig, direction):
+def _pack_rays(orig, direction, extra=None):
+    """Pad to PROG_ROWS blocks and pack components lane-wise into ONE array:
+    (rows, 6*128) [+ extra column block], so each kernel program takes a
+    single input DMA."""
     n = orig.shape[0]
     block = PROG_ROWS * LANES
     n_pad = (-n) % block
     if n_pad:
         orig = jnp.concatenate([orig, jnp.zeros((n_pad, 3), orig.dtype)])
         direction = jnp.concatenate([direction, jnp.zeros((n_pad, 3), direction.dtype)])
+        if extra is not None:
+            extra = jnp.concatenate([extra, jnp.full((n_pad,), -1.0, extra.dtype)])
     total = orig.shape[0]
     rows = total // LANES
 
-    def comp(a, j):
-        return a[:, j].reshape(rows, LANES)
-
-    return (
-        tuple(comp(orig, j) for j in range(3)),
-        tuple(comp(direction, j) for j in range(3)),
-        n,
-        rows,
-    )
+    comps = [orig[:, j].reshape(rows, LANES) for j in range(3)]
+    comps += [direction[:, j].reshape(rows, LANES) for j in range(3)]
+    if extra is not None:
+        comps.append(extra.reshape(rows, LANES))
+    return jnp.concatenate(comps, axis=1), n, rows
 
 
-def _chunk_rows(comps, rows):
-    """Reshape (rows, LANES) component arrays to (n_chunks, chunk, LANES),
-    zero-padding rows to a chunk multiple (pad rays have dir=0 and are
-    vote-skipped by the kernels). Small inputs get one right-sized chunk."""
+def _chunk_rows(packed, rows):
+    """Reshape (rows, C) to (n_chunks, chunk, C), zero-padding rows to a
+    chunk multiple (pad rays have dir=0 and are vote-skipped)."""
     chunk = min(CHUNK_ROWS, rows)
     pad = (-rows) % chunk
-    out = []
-    for a in comps:
-        if pad:
-            a = jnp.concatenate([a, jnp.zeros((pad, LANES), a.dtype)])
-        out.append(a.reshape(-1, chunk, LANES))
-    return out, chunk
+    if pad:
+        packed = jnp.concatenate(
+            [packed, jnp.zeros((pad, packed.shape[1]), packed.dtype)]
+        )
+    return packed.reshape(-1, chunk, packed.shape[1]), chunk
 
 
 @functools.partial(
@@ -559,10 +589,13 @@ def _chunk_rows(comps, rows):
 )
 def _closest_call(cs: ClusterScene, orig, direction, cs_static, t_min, t_max, interpret):
     n_clusters, n_super = cs_static
-    (o_comps, d_comps, n, rows) = _pad_rays(orig, direction)
-    comps, chunk_rows = _chunk_rows([*o_comps, *d_comps], rows)
+    packed, n, rows = _pack_rays(orig, direction)
+    chunks, chunk_rows = _chunk_rows(packed, rows)
     ray_spec = pl.BlockSpec(
-        (PROG_ROWS, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+        (PROG_ROWS, 6 * LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    out_spec = pl.BlockSpec(
+        (PROG_ROWS, 4 * LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
     kernel = functools.partial(_closest_kernel, n_super, t_min, t_max)
 
@@ -576,23 +609,23 @@ def _closest_call(cs: ClusterScene, orig, direction, cs_static, t_min, t_max, in
                 pl.BlockSpec(memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pltpu.VMEM),
                 *[pl.BlockSpec(memory_space=pltpu.VMEM)] * 9,
-                *[ray_spec] * 6,
+                ray_spec,
             ],
-            out_specs=[ray_spec] * 4,
-            out_shape=[
-                jax.ShapeDtypeStruct((chunk_rows, LANES), jnp.float32),
-                jax.ShapeDtypeStruct((chunk_rows, LANES), jnp.int32),
-                jax.ShapeDtypeStruct((chunk_rows, LANES), jnp.float32),
-                jax.ShapeDtypeStruct((chunk_rows, LANES), jnp.float32),
-            ],
+            out_specs=out_spec,
+            out_shape=jax.ShapeDtypeStruct((chunk_rows, 4 * LANES), jnp.float32),
             interpret=interpret,
-        )(cs.super_aabb, cs.cluster_aabb, *cs.tri_cols, *chunk)
+        )(cs.super_aabb, cs.cluster_aabb, *cs.tri_cols, chunk)
         # barrier: stop XLA from fusing/holding the frame-sized outputs in
         # scoped VMEM (repeated compile-time VMEM OOMs without it)
         return jax.lax.optimization_barrier(out)
 
-    outs = jax.lax.map(chunk_body, comps)
-    t, idx, u, v = (o.reshape(-1)[:n] for o in outs)
+    out = jax.lax.map(chunk_body, chunks).reshape(-1, 4 * LANES)
+    t = out[:, 0:LANES].reshape(-1)[:n]
+    idx = jax.lax.bitcast_convert_type(
+        out[:, LANES : 2 * LANES], jnp.int32
+    ).reshape(-1)[:n]
+    u = out[:, 2 * LANES : 3 * LANES].reshape(-1)[:n]
+    v = out[:, 3 * LANES : 4 * LANES].reshape(-1)[:n]
     hit = idx >= 0
     tri = jnp.take(cs.tri_remap, jnp.maximum(idx, 0))
     return hit, jnp.where(hit, t, 0.0), jnp.where(hit, tri, -1), u, v
@@ -601,20 +634,12 @@ def _closest_call(cs: ClusterScene, orig, direction, cs_static, t_min, t_max, in
 @functools.partial(jax.jit, static_argnames=("cs_static", "t_min", "interpret"))
 def _any_call(cs: ClusterScene, orig, direction, t_max_per_ray, cs_static, t_min, interpret):
     n_clusters, n_super = cs_static
-    (o_comps, d_comps, n, rows) = _pad_rays(orig, direction)
-    block = BLOCK_ROWS * LANES
-    n_pad = (-n) % block
-    tmax = t_max_per_ray
-    if n_pad:
-        tmax = jnp.concatenate([tmax, jnp.full((n_pad,), -1.0, tmax.dtype)])
-    tmax2d = tmax.reshape(rows, LANES)
-    comps, chunk_rows = _chunk_rows([*o_comps, *d_comps], rows)
-    # pad tmax chunks with -1 (guaranteed miss), rays with 0 (vote-skipped)
-    pad = (-rows) % chunk_rows
-    if pad:
-        tmax2d = jnp.concatenate([tmax2d, jnp.full((pad, LANES), -1.0, tmax2d.dtype)])
-    comps.append(tmax2d.reshape(-1, chunk_rows, LANES))
+    packed, n, rows = _pack_rays(orig, direction, extra=t_max_per_ray)
+    chunks, chunk_rows = _chunk_rows(packed, rows)
     ray_spec = pl.BlockSpec(
+        (PROG_ROWS, 7 * LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    out_spec = pl.BlockSpec(
         (PROG_ROWS, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
     kernel = functools.partial(_any_kernel, n_super, t_min)
@@ -624,20 +649,18 @@ def _any_call(cs: ClusterScene, orig, direction, t_max_per_ray, cs_static, t_min
             kernel,
             grid=(chunk_rows // PROG_ROWS,),
             in_specs=[
-                # AABB tables live in VMEM: SMEM overflows past ~2k clusters
-                # and Mosaic supports scalar loads from VMEM refs
                 pl.BlockSpec(memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pltpu.VMEM),
                 *[pl.BlockSpec(memory_space=pltpu.VMEM)] * 9,
-                *[ray_spec] * 7,
+                ray_spec,
             ],
-            out_specs=ray_spec,
+            out_specs=out_spec,
             out_shape=jax.ShapeDtypeStruct((chunk_rows, LANES), jnp.int32),
             interpret=interpret,
-        )(cs.super_aabb, cs.cluster_aabb, *cs.tri_cols, *chunk)
+        )(cs.super_aabb, cs.cluster_aabb, *cs.tri_cols, chunk)
         return jax.lax.optimization_barrier(out)
 
-    out = jax.lax.map(chunk_body, comps)
+    out = jax.lax.map(chunk_body, chunks)
     return out.reshape(-1)[:n] > 0
 
 
