@@ -75,7 +75,10 @@ def build_argparser() -> argparse.ArgumentParser:
 
 
 def main(argv=None) -> int:
-    args = build_argparser().parse_args(argv)
+    parser = build_argparser()
+    args = parser.parse_args(argv)
+    if args.frames < 1:
+        parser.error(f"--frames must be >= 1 (got {args.frames})")
 
     from vkrt_tpu.utils.jaxcache import enable as enable_cache
 
@@ -157,17 +160,20 @@ def main(argv=None) -> int:
                     height=args.orbit_height,
                     fov_deg=args.fov,
                 )
-            rays_before = engine.total_rays
             with timed_frame(stats, block=None):
                 out = engine.render_frame()
                 out.block_until_ready()
-            stats.rays[-1] = engine.total_rays - rays_before
             if args.orbit:
                 base, ext = os.path.splitext(args.out)
                 write_png(f"{base}_{f:04d}{ext}", to_u8_image(out, width, height))
     dt = time.time() - t0
     img = to_u8_image(out, width, height)
-    mrays = engine.total_rays / dt / 1e6 if dt > 0 else 0.0
+    # single device->host sync for the ray counter (the engine accumulates it
+    # on device; a per-frame float() read would bubble the pipeline)
+    total_rays = engine.total_rays
+    if stats.times_s:
+        stats.rays = [total_rays / len(stats.times_s)] * len(stats.times_s)
+    mrays = total_rays / dt / 1e6 if dt > 0 else 0.0
     print(
         f"{args.frames} frames at {width}x{height} in {dt:.3f}s "
         f"({dt / args.frames * 1000:.1f} ms/frame, {mrays:.1f} Mrays/s incl. compile)"

@@ -52,9 +52,20 @@ class Engine:
         self.tracer = make_tracer(scene, settings.backend)
         self.frame = -1
         self._ref_cam: Optional[Camera] = None
-        self.total_rays = 0.0
+        self._total_rays = jnp.zeros((), jnp.float32)
         self._alloc_buffers()
         self._build_jits()
+
+    @property
+    def total_rays(self) -> float:
+        """Total rays traced. Reading syncs device->host: fetch once per run,
+        not per frame (the reference has zero per-frame readbacks,
+        main.cpp:441-630); render_frame accumulates on device."""
+        return float(self._total_rays)
+
+    @total_rays.setter
+    def total_rays(self, value):
+        self._total_rays = jnp.asarray(value, jnp.float32)
 
     # -- state management ---------------------------------------------------
 
@@ -144,6 +155,10 @@ class Engine:
         self.update_frame()
         s = self.settings
         at_limit = s.stop_at_max_frames and self.frame >= s.max_frames
+        if s.rt_mode == 0 and self.gbuffer is None:
+            # restored checkpoints don't carry the G-buffer (it is re-derived
+            # per frame): render once before honoring the max-frames early-out
+            at_limit = False
         cam = self.camera.matrices(self.width, self.height)
         if s.rt_mode == 1:
             if not at_limit:  # early-out keeps the image (hello_vulkan.cpp:1426)
@@ -153,7 +168,7 @@ class Engine:
                     self.accum, rays = self._step(
                         cam, self.frame, self.accum, self.clear_color
                     )
-                self.total_rays += float(rays)
+                self._total_rays = self._total_rays + rays
             return post_mod.composite(
                 None, jnp.concatenate(
                     [self.accum, jnp.ones_like(self.accum[:, :1])], axis=1
@@ -165,7 +180,7 @@ class Engine:
                 self.gbuffer, self.accum_rt, rays = self._step(
                     cam, self.frame, self.accum_rt, self.clear_color
                 )
-            self.total_rays += float(rays)
+            self._total_rays = self._total_rays + rays
         return post_mod.composite(
             self.gbuffer.color[:, :3],
             self.accum_rt,

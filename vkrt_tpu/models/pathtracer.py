@@ -107,8 +107,10 @@ def bounce_chain(
         add = (c.active & ~shadow_hit)[:, None]
         hit_value = c.hit_value + jnp.where(add, contrib, 0.0)
 
-        # hit-distance bookkeeping at depth 1 for diffuse (rgen:103-114)
-        at_d1 = (d == 1) & ~is_spec_this & c.active
+        # hit-distance bookkeeping at depth 1 for diffuse (rgen:103-114);
+        # miss lanes are excluded: rmiss sets prd.depth=100 (rgen:103) so the
+        # GLSL never runs this block for them (stale light_dist would leak)
+        at_d1 = (d == 1) & ~is_spec_this & c.active & ~miss
         hd_new = jnp.where(shadow_hit, 0.5 * light_dist_this, light_dist_this)
         hd_new = hd_new * hitdist_weight
         if hitdist_accumulate:

@@ -558,7 +558,11 @@ def _pack_rays(orig, direction, extra=None):
     block = PROG_ROWS * LANES
     n_pad = (-n) % block
     if n_pad:
-        orig = jnp.concatenate([orig, jnp.zeros((n_pad, 3), orig.dtype)])
+        # park pad-ray origins at 1e30 (like bounce_chain's dead lanes): an
+        # origin-0/dir-0 pad would still slab-test positive for any box
+        # spanning the world origin (safe_inv maps dir=0 to +-1e20) and vote
+        # clusters in for discarded work
+        orig = jnp.concatenate([orig, jnp.full((n_pad, 3), 1e30, orig.dtype)])
         direction = jnp.concatenate([direction, jnp.zeros((n_pad, 3), direction.dtype)])
         if extra is not None:
             extra = jnp.concatenate([extra, jnp.full((n_pad,), -1.0, extra.dtype)])
@@ -573,13 +577,16 @@ def _pack_rays(orig, direction, extra=None):
 
 
 def _chunk_rows(packed, rows):
-    """Reshape (rows, C) to (n_chunks, chunk, C), zero-padding rows to a
-    chunk multiple (pad rays have dir=0 and are vote-skipped)."""
+    """Reshape (rows, C) to (n_chunks, chunk, C), padding rows to a chunk
+    multiple. Pad rays get origin=1e30 / dir=0 so every slab test rejects
+    them (origin-0 pads would vote in boxes spanning the world origin)."""
     chunk = min(CHUNK_ROWS, rows)
     pad = (-rows) % chunk
     if pad:
+        pad_row = jnp.zeros((packed.shape[1],), packed.dtype)
+        pad_row = pad_row.at[: 3 * LANES].set(1e30)
         packed = jnp.concatenate(
-            [packed, jnp.zeros((pad, packed.shape[1]), packed.dtype)]
+            [packed, jnp.broadcast_to(pad_row, (pad, packed.shape[1]))]
         )
     return packed.reshape(-1, chunk, packed.shape[1]), chunk
 

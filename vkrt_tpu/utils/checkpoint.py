@@ -30,7 +30,11 @@ def _fingerprint(engine) -> str:
         "scene": [
             int(engine.scene.num_tris),
             int(engine.scene.num_lights),
-            float(np.asarray(engine.scene.tri_v0).sum()),
+            # hash the geometry bytes (a float sum collides trivially: any
+            # permutation or compensating move of vertices preserves it)
+            hashlib.sha256(
+                np.ascontiguousarray(np.asarray(engine.scene.tri_v0)).tobytes()
+            ).hexdigest(),
         ],
     }
     blob = json.dumps(parts, sort_keys=True).encode()
