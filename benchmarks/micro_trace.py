@@ -120,7 +120,7 @@ def main(argv=None):
              else scene_mod.make_city(grid=96))
     print(f"scene: {scene.num_tris} tris")
     tracer = make_pallas_tracer(scene)
-    print(f"clusters={tracer.cs.n_clusters} supers={tracer.cs.n_super}")
+    print(f"clusters={tracer.cs.n_clusters} levels={tracer.cs.level_counts}")
 
     for kind in ("primary", "incoherent"):
         o, d = make_rays(scene, args.width, args.height, kind)

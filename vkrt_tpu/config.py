@@ -38,6 +38,8 @@ class RenderSettings:
     max_frames: int = 1               # accumulation limit (hello_vulkan.h:157)
     stop_at_max_frames: bool = False  # "Limit Max Frames" (hello_vulkan.h:156)
     use_denoiser: bool = False        # finishes the reference's disabled NRD path
+    temporal_denoiser: bool = True    # reprojecting REBLUR-style history (vs
+                                      # spatial-only à-trous) when denoising
     backend: str = "auto"             # trace backend: auto|bruteforce|bvh|pallas
     # Extension (default off = reference-faithful): clamp path throughput
     # weights to [0, 50]. The reference's GGX importance weight

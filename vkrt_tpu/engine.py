@@ -29,8 +29,9 @@ from vkrt_tpu.models import post as post_mod
 from vkrt_tpu.models.hybrid import hybrid_frame
 from vkrt_tpu.models.pathtracer import pathtrace_frame
 from vkrt_tpu.ops.trace import make_tracer
+from vkrt_tpu.ops.rng import tea
 from vkrt_tpu.scene import SceneArrays
-from vkrt_tpu.utils.camera import Camera
+from vkrt_tpu.utils.camera import Camera, pixel_coords, tile_perm
 
 
 class Engine:
@@ -71,42 +72,57 @@ class Engine:
 
     def _alloc_buffers(self):
         n = self.width * self.height
+        # tile-ordered pixel layout: every per-pixel array in the frame
+        # pipeline (accum, G-buffer, composites) lives in 32x32-tile order so
+        # each 1024-ray Pallas program block covers one compact frustum
+        # instead of a 1024x1 scanline stripe (see utils.camera.tile_perm);
+        # render_frame un-permutes its output back to image order
+        perm, inv = tile_perm(self.width, self.height)
+        self._perm = jnp.asarray(perm)
+        self._inv_perm = jnp.asarray(inv)
+        self._pix = jnp.take(pixel_coords(self.width, self.height), self._perm, axis=0)
+        self._pid = jnp.asarray(perm.astype(np.uint32))
         self.accum = jnp.zeros((n, 3), jnp.float32)          # path accum image
         self.accum_rt = jnp.zeros((n, 4), jnp.float32)       # hybrid imageAccum
         self.gbuffer = None                                   # hybrid G-buffer
+        s = self.settings
+        if s.rt_mode == 0 and s.use_denoiser and s.use_gi and s.temporal_denoiser:
+            from vkrt_tpu.models import denoiser as dn
+
+            self.denoise_state = dn.init_state(self.width, self.height)
+        else:
+            self.denoise_state = None
 
     def _build_jits(self):
         s = self.settings
+        pix, pid = self._pix, self._pid
         if s.rt_mode == 1:
-            self._step = jax.jit(
-                partial(
-                    pathtrace_frame,
-                    self.scene,
-                    self.tracer,
-                    width=self.width,
-                    height=self.height,
-                    samples=s.samples,
-                    depth=s.depth,
-                    clamp_weights=s.clamp_weights,
-                ),
-                static_argnames=(),
-            )
-        else:
-            self._step = jax.jit(
-                partial(
-                    hybrid_frame,
-                    self.scene,
-                    self.tracer,
-                    width=self.width,
-                    height=self.height,
-                    depth=s.depth,
-                    use_shadows=s.use_shadows,
-                    use_ao=s.use_ao,
-                    use_gi=s.use_gi,
-                    use_denoiser=s.use_denoiser,
-                    clamp_weights=s.clamp_weights,
+            def path_step(cam, frame, accum, clear_color):
+                # per-pixel seeds by ORIGINAL pixel id: radiance per pixel is
+                # bit-identical to scanline order (layout is a pure permute)
+                seeds = tea(pid, jnp.uint32(frame))
+                return pathtrace_frame(
+                    self.scene, self.tracer, cam, frame, accum, clear_color,
+                    width=self.width, height=self.height,
+                    samples=s.samples, depth=s.depth,
+                    clamp_weights=s.clamp_weights, pix=pix, seeds=seeds,
                 )
-            )
+
+            self._step = jax.jit(path_step)
+        else:
+            def hybrid_step(cam, frame, accum_rt, clear_color, denoise_state):
+                seeds = tea(pid, jnp.uint32(frame))
+                return hybrid_frame(
+                    self.scene, self.tracer, cam, frame, accum_rt, clear_color,
+                    width=self.width, height=self.height, depth=s.depth,
+                    use_shadows=s.use_shadows, use_ao=s.use_ao,
+                    use_gi=s.use_gi, use_denoiser=s.use_denoiser,
+                    clamp_weights=s.clamp_weights, pix=pix, seeds=seeds,
+                    perm=self._perm, inv_perm=self._inv_perm,
+                    denoise_state=denoise_state,
+                )
+
+            self._step = jax.jit(hybrid_step)
 
     def reset_frame(self):
         """hello_vulkan.cpp:1501-1504."""
@@ -129,6 +145,7 @@ class Engine:
                 or settings.use_ao != self.settings.use_ao
                 or settings.use_gi != self.settings.use_gi
                 or settings.use_denoiser != self.settings.use_denoiser
+                or settings.temporal_denoiser != self.settings.temporal_denoiser
                 or settings.clamp_weights != self.settings.clamp_weights
                 or settings.backend != self.settings.backend
             )
@@ -136,6 +153,7 @@ class Engine:
                 self.tracer = make_tracer(self.scene, settings.backend)
             self.settings = settings
             if needs_rejit:
+                self._alloc_buffers()  # resets denoiser history to match
                 self._build_jits()
             self.reset_frame()  # any UI change calls resetFrame (main.cpp:103)
 
@@ -169,25 +187,30 @@ class Engine:
                         cam, self.frame, self.accum, self.clear_color
                     )
                 self._total_rays = self._total_rays + rays
-            return post_mod.composite(
+            out = post_mod.composite(
                 None, jnp.concatenate(
                     [self.accum, jnp.ones_like(self.accum[:, :1])], axis=1
                 ),
                 rt_mode=1, view_accumulated=s.view_accumulated, use_gi=s.use_gi,
             )
+            return jnp.take(out, self._inv_perm, axis=0)  # tile -> image order
         if not at_limit:
             with pass_label("hybrid"):  # (hello_vulkan.cpp:587/1459 labels)
-                self.gbuffer, self.accum_rt, rays = self._step(
-                    cam, self.frame, self.accum_rt, self.clear_color
+                self.gbuffer, self.accum_rt, rays, self.denoise_state = (
+                    self._step(
+                        cam, self.frame, self.accum_rt, self.clear_color,
+                        self.denoise_state,
+                    )
                 )
             self._total_rays = self._total_rays + rays
-        return post_mod.composite(
+        out = post_mod.composite(
             self.gbuffer.color[:, :3],
             self.accum_rt,
             rt_mode=0,
             view_accumulated=s.view_accumulated,
             use_gi=s.use_gi,
         )
+        return jnp.take(out, self._inv_perm, axis=0)  # tile -> image order
 
     def render(self, frames: int = 1) -> np.ndarray:
         """Render ``frames`` progressive frames, return (H,W,3) uint8."""

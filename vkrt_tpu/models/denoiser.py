@@ -1,19 +1,37 @@
-"""Denoiser: temporal accumulation + SVGF/REBLUR-style à-trous filtering.
+"""Denoiser: temporal reprojection + variance-guided à-trous filtering.
 
 The reference wires NRD REBLUR_DIFFUSE end to end but leaves the actual
 ``NRD.Denoise`` dispatch commented out (main.cpp:566-602) — this module
 *finishes* that subsystem, consuming the exact 5-buffer contract the
 reference produces (hello_vulkan.h:199-207): packed diffuse radiance +
 normalized hit distance (YCoCg, gltf.glsl:227-244), oct-packed
-normal+roughness (gltf.glsl:167-176) and viewZ.
+normal+roughness (gltf.glsl:167-176), viewZ, and motion vectors.
 
-Temporal accumulation already exists upstream (accumulateFrames /
-mix(old,new,1/(frame+1))); here we add the spatial edge-aware à-trous wavelet
-pass in the SVGF family, expressed entirely as jnp.roll shifts — the
-TPU-friendly formulation (static shifts fuse into cheap VPU ops; no gathers).
+Round 2 adds the temporal half REBLUR actually is (the round-1 filter was
+spatial-only):
+
+* **camera reprojection** — the scene is static, so screen motion comes
+  from the camera alone: the previous frame's viewProj re-projects each
+  G-buffer world position to its previous pixel (the motion-vector math the
+  reference's MV buffer exists for, main.cpp:355-380 + populateCommonSettings
+  prev-matrix plumbing, hello_vulkan.cpp:1475-1499);
+* **disocclusion-tested history** — bilinear history taps validated by
+  previous-frame viewZ (relative depth test) and normal agreement, REBLUR's
+  "occlusion" logic in miniature;
+* **history clamp** — reprojected color clamped to the current frame's 3x3
+  neighborhood box to kill ghosting;
+* **variance-guided à-trous** — SVGF-style: luminance moments accumulate
+  temporally, their variance steers the edge-stopping luminance weight, and
+  the packed *hit distance* (which round 1 discarded) scales the effective
+  blur radius so contact-occlusion detail survives.
+
+Everything is jnp.roll/reshape image-space math except the one history
+gather (4 bilinear taps/pixel), which is unavoidable for reprojection.
 """
 
 from __future__ import annotations
+
+from typing import NamedTuple
 
 import jax.numpy as jnp
 
@@ -23,19 +41,176 @@ from vkrt_tpu.ops import nrd
 _KERNEL = (1.0 / 16.0, 1.0 / 4.0, 3.0 / 8.0, 1.0 / 4.0, 1.0 / 16.0)
 SIGMA_Z = 1.0
 SIGMA_N = 64.0
+SIGMA_L = 4.0          # SVGF luminance sigma
+MAX_HISTORY = 32.0     # REBLUR maxAccumulatedFrameNum ballpark
+DEPTH_REJECT = 0.05    # relative viewZ disocclusion threshold
+NORMAL_REJECT = 0.8    # min dot(n, n_prev) to accept history
 
 
-def atrous_filter(radiance, normal, view_z, width, height, iterations: int = 3):
-    """Edge-aware à-trous filtering. All inputs flat (N,...) row-major."""
+def _luminance(rgb):
+    return 0.25 * rgb[..., 0] + 0.5 * rgb[..., 1] + 0.25 * rgb[..., 2]
+
+
+class DenoiserState(NamedTuple):
+    """Per-pixel temporal history, image (row-major) order."""
+
+    hist_rad: jnp.ndarray      # (N,3) accumulated radiance
+    hist_m1: jnp.ndarray       # (N,) luminance 1st moment
+    hist_m2: jnp.ndarray       # (N,) luminance 2nd moment
+    hist_len: jnp.ndarray      # (N,) accumulated frame count (0 = none)
+    prev_view_proj: jnp.ndarray  # (4,4)
+    prev_view_z: jnp.ndarray   # (N,)
+    prev_normal: jnp.ndarray   # (N,3)
+
+
+def init_state(width: int, height: int) -> DenoiserState:
+    n = width * height
+    return DenoiserState(
+        hist_rad=jnp.zeros((n, 3), jnp.float32),
+        hist_m1=jnp.zeros((n,), jnp.float32),
+        hist_m2=jnp.zeros((n,), jnp.float32),
+        hist_len=jnp.zeros((n,), jnp.float32),
+        prev_view_proj=jnp.zeros((4, 4), jnp.float32),
+        prev_view_z=jnp.zeros((n,), jnp.float32),
+        prev_normal=jnp.zeros((n, 3), jnp.float32),
+    )
+
+
+def motion_vectors(world_pos, prev_view_proj, width: int, height: int):
+    """Screen-space motion: previous-frame pixel coords of each world point.
+
+    Returns (prev_px (N,2) float pixel coords, in_prev (N,) bool). The MV
+    written to the G-buffer contract is ``prev_px - cur_px``.
+    """
+    p = jnp.concatenate([world_pos, jnp.ones_like(world_pos[:, :1])], axis=1)
+    clip = p @ prev_view_proj.T
+    w = clip[:, 3]
+    ndc = clip[:, :2] / jnp.where(jnp.abs(w) < 1e-20, 1e-20, w)[:, None]
+    uv = ndc * 0.5 + 0.5  # Vulkan clip: y already flipped by perspectiveVK
+    prev_px = uv * jnp.asarray([width, height], jnp.float32) - 0.5
+    in_prev = (
+        (w > 0.0)  # half-pixel slack: border pixel centers land on W-1 +- eps
+        & (prev_px[:, 0] >= -0.5) & (prev_px[:, 0] <= width - 0.5)
+        & (prev_px[:, 1] >= -0.5) & (prev_px[:, 1] <= height - 0.5)
+    )
+    return prev_px, in_prev
+
+
+def _gather(img_flat, idx):
+    return jnp.take(img_flat, idx, axis=0)
+
+
+def reproject(
+    state: DenoiserState, world_pos, view_z, normal, width: int, height: int
+):
+    """Bilinearly sample validated history at each pixel's previous position.
+
+    Returns (hist_rad, m1, m2, hist_len) with hist_len = 0 where history is
+    missing/disoccluded — the temporal accumulator then falls back to the
+    current frame alone.
+    """
+    prev_px, in_prev = motion_vectors(
+        world_pos, state.prev_view_proj, width, height
+    )
+    x0 = jnp.floor(prev_px[:, 0])
+    y0 = jnp.floor(prev_px[:, 1])
+    fx = prev_px[:, 0] - x0
+    fy = prev_px[:, 1] - y0
+    x0 = jnp.clip(x0.astype(jnp.int32), 0, width - 1)
+    y0 = jnp.clip(y0.astype(jnp.int32), 0, height - 1)
+    x1 = jnp.minimum(x0 + 1, width - 1)
+    y1 = jnp.minimum(y0 + 1, height - 1)
+
+    # expected depth of this surface in the previous frame's view: reuse the
+    # projective w (= -viewZ under perspectiveVK, hello_vulkan.cpp:66-72)
+    p = jnp.concatenate([world_pos, jnp.ones_like(world_pos[:, :1])], axis=1)
+    w_prev = (p @ state.prev_view_proj.T)[:, 3]
+
+    taps = [
+        (y0 * width + x0, (1 - fx) * (1 - fy)),
+        (y0 * width + x1, fx * (1 - fy)),
+        (y1 * width + x0, (1 - fx) * fy),
+        (y1 * width + x1, fx * fy),
+    ]
+    acc_rad = jnp.zeros_like(state.hist_rad)
+    acc_m1 = jnp.zeros_like(state.hist_m1)
+    acc_m2 = jnp.zeros_like(state.hist_m2)
+    acc_len = jnp.zeros_like(state.hist_len)
+    wsum = jnp.zeros_like(state.hist_m1)
+    for idx, wgt in taps:
+        pz = _gather(state.prev_view_z, idx)
+        pn = _gather(state.prev_normal, idx)
+        ok = (
+            in_prev
+            & (_gather(state.hist_len, idx) > 0.0)
+            & (jnp.abs(pz - jnp.abs(w_prev))
+               <= DEPTH_REJECT * jnp.maximum(jnp.abs(w_prev), 1.0))
+            & (jnp.sum(pn * normal, axis=-1) >= NORMAL_REJECT)
+        )
+        wv = jnp.where(ok, wgt, 0.0)
+        acc_rad = acc_rad + _gather(state.hist_rad, idx) * wv[:, None]
+        acc_m1 = acc_m1 + _gather(state.hist_m1, idx) * wv
+        acc_m2 = acc_m2 + _gather(state.hist_m2, idx) * wv
+        acc_len = acc_len + _gather(state.hist_len, idx) * wv
+        wsum = wsum + wv
+    valid = wsum > 1e-4
+    inv = 1.0 / jnp.maximum(wsum, 1e-4)
+    return (
+        jnp.where(valid[:, None], acc_rad * inv[:, None], 0.0),
+        jnp.where(valid, acc_m1 * inv, 0.0),
+        jnp.where(valid, acc_m2 * inv, 0.0),
+        jnp.where(valid, acc_len * inv, 0.0),
+    )
+
+
+def _neighborhood_clamp(hist_rad, cur_rad, width, height):
+    """Clamp history to the 3x3 box of the current frame (anti-ghosting)."""
+    img = cur_rad.reshape(height, width, 3)
+    lo = img
+    hi = img
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            q = jnp.roll(img, (-dy, -dx), axis=(0, 1))
+            lo = jnp.minimum(lo, q)
+            hi = jnp.maximum(hi, q)
+    return jnp.clip(hist_rad, lo.reshape(-1, 3), hi.reshape(-1, 3))
+
+
+def atrous_filter(radiance, normal, view_z, width, height, iterations: int = 3,
+                  variance=None, hit_dist_norm=None):
+    """Edge-aware à-trous filtering. All inputs flat (N,...) row-major.
+
+    ``variance``: optional (N,) luminance variance — adds the SVGF
+    luminance edge-stopper (filtered alongside the image).
+    ``hit_dist_norm``: optional (N,) in [0,1] — scales the spatial kernel
+    weight so short-hit-distance (contact) regions blur less (the REBLUR
+    hit-distance-driven blur radius, in à-trous form).
+    """
     h, w = height, width
     img = radiance.reshape(h, w, 3)
     nrm = normal.reshape(h, w, 3)
     z = view_z.reshape(h, w)
+    var = None if variance is None else jnp.maximum(variance, 0.0).reshape(h, w)
+    # hit distance 0 = no GI data (miss) -> nothing to preserve, full blur
+    hd = None if hit_dist_norm is None else jnp.where(
+        hit_dist_norm <= 1e-4, 1.0, jnp.clip(hit_dist_norm, 0.05, 1.0)
+    ).reshape(h, w)
 
     for it in range(iterations):
         step = 1 << it
         acc = jnp.zeros_like(img)
+        vacc = None if var is None else jnp.zeros_like(var)
         wsum = jnp.zeros((h, w, 1), img.dtype)
+        v_wsum = jnp.zeros((h, w), img.dtype)
+        lum = _luminance(img)
+        sig_l = None
+        if var is not None:
+            # 3x3 pre-blur of variance stabilizes the weight (SVGF)
+            vb = jnp.zeros_like(var)
+            for dy in (-1, 0, 1):
+                for dx in (-1, 0, 1):
+                    vb = vb + jnp.roll(var, (-dy, -dx), axis=(0, 1))
+            sig_l = SIGMA_L * jnp.sqrt(vb / 9.0) + 1e-4
         for dy in range(-2, 3):
             for dx in range(-2, 3):
                 kw = _KERNEL[dy + 2] * _KERNEL[dx + 2]
@@ -45,17 +220,92 @@ def atrous_filter(radiance, normal, view_z, width, height, iterations: int = 3):
                 z_q = jnp.roll(z, (-sy, -sx), axis=(0, 1))
                 w_n = jnp.maximum(jnp.sum(nrm * nrm_q, axis=-1), 0.0) ** SIGMA_N
                 w_z = jnp.exp(-jnp.abs(z - z_q) / (SIGMA_Z * abs(sy) + SIGMA_Z * abs(sx) + 1e-3))
-                wgt = (kw * w_n * w_z)[..., None]
-                acc = acc + img_q * wgt
-                wsum = wsum + wgt
+                wgt = kw * w_n * w_z
+                if var is not None:
+                    lum_q = jnp.roll(lum, (-sy, -sx), axis=(0, 1))
+                    wgt = wgt * jnp.exp(-jnp.abs(lum - lum_q) / sig_l)
+                if hd is not None and (dy or dx):
+                    # short hit distances (contact occlusion) shrink the
+                    # effective blur radius — gently: a floored fade, never
+                    # below 25% (a hard cutoff was measured to strangle the
+                    # filter and lose to spatial-only)
+                    r = (dy * dy + dx * dx) ** 0.5 / 2.0
+                    wgt = wgt * (
+                        0.5 + 0.5 * jnp.minimum(1.0, hd * 6.0 / r)
+                    )
+                acc = acc + img_q * wgt[..., None]
+                wsum = wsum + wgt[..., None]
+                if var is not None:
+                    var_q = jnp.roll(var, (-sy, -sx), axis=(0, 1))
+                    vacc = vacc + var_q * wgt * wgt
+                    v_wsum = v_wsum + wgt
         img = acc / jnp.maximum(wsum, 1e-8)
+        if var is not None:
+            var = vacc / jnp.maximum(v_wsum * v_wsum, 1e-8)
     return img.reshape(-1, 3)
 
 
 def denoise_gi(diff_rad_hitd, norm_rough_packed, view_z, width, height,
                iterations: int = 3):
-    """REBLUR-contract entry: unpack, filter, return linear RGB (N,3)."""
+    """Spatial-only REBLUR-contract entry (kept for sharded tiles/tests):
+    unpack, filter, return linear RGB (N,3)."""
     unpacked = nrd.unpack_radiance_and_norm_hit_dist(diff_rad_hitd)
     radiance = unpacked[..., :3]
     normal, _rough, _mid = nrd.unpack_normal_and_roughness(norm_rough_packed)
     return atrous_filter(radiance, normal, view_z, width, height, iterations)
+
+
+def denoise_temporal(
+    state: DenoiserState,
+    diff_rad_hitd,
+    norm_rough_packed,
+    view_z,
+    world_pos,
+    view_proj,
+    width: int,
+    height: int,
+    iterations: int = 3,
+):
+    """Full temporal+spatial denoise — the ``NRD.Denoise`` dispatch the
+    reference leaves disabled (main.cpp:566-602), REBLUR-style.
+
+    All buffers in image (row-major) order. Returns
+    (filtered_radiance (N,3), new DenoiserState).
+    """
+    unpacked = nrd.unpack_radiance_and_norm_hit_dist(diff_rad_hitd)
+    cur_rad = unpacked[..., :3]
+    hd_norm = unpacked[..., 3]
+    normal, _rough, _ = nrd.unpack_normal_and_roughness(norm_rough_packed)
+
+    h_rad, h_m1, h_m2, h_len = reproject(
+        state, world_pos, view_z, normal, width, height
+    )
+    h_rad = _neighborhood_clamp(h_rad, cur_rad, width, height)
+
+    new_len = jnp.minimum(h_len + 1.0, MAX_HISTORY)
+    alpha = 1.0 / new_len
+    rad_acc = h_rad * (1.0 - alpha[:, None]) + cur_rad * alpha[:, None]
+    lum = _luminance(cur_rad)
+    m1 = h_m1 * (1.0 - alpha) + lum * alpha
+    m2 = h_m2 * (1.0 - alpha) + lum * lum * alpha
+    variance = jnp.maximum(m2 - m1 * m1, 0.0)
+    # short history -> inflate variance so the spatial filter works harder
+    variance = variance + jnp.where(new_len < 4.0, 0.5 / new_len, 0.0)
+
+    filtered = atrous_filter(
+        rad_acc, normal, view_z, width, height, iterations,
+        variance=variance, hit_dist_norm=hd_norm,
+    )
+
+    # SVGF feeds the first filtered result back as next frame's history —
+    # approximate with the final filtered image (stabler under motion)
+    new_state = DenoiserState(
+        hist_rad=filtered,
+        hist_m1=m1,
+        hist_m2=m2,
+        hist_len=new_len,
+        prev_view_proj=view_proj,
+        prev_view_z=jnp.abs(view_z),
+        prev_normal=normal,
+    )
+    return filtered, new_state

@@ -66,6 +66,11 @@ def hybrid_effects(
     color_a = jnp.ones((n,), dt)
     rays = jnp.asarray(0.0, jnp.float32)
 
+    # The shadow ray and the 4 AO rays are independent visibility queries
+    # from the same G-buffer point: batch them into ONE unified-kernel
+    # launch (per-lane t limits; lanes that skip a query get dir=0/limit 0
+    # so the vote tree rejects them). RNG draw order is unchanged.
+    vis_dirs, vis_lims = [], []
     if use_shadows:  # rgen:81-131
         seed, r = rnd(seed)
         light_idx = jnp.clip((r * float(n_lights)).astype(jnp.int32), 0, n_lights - 1)
@@ -75,24 +80,44 @@ def hybrid_effects(
         l = ldir / jnp.maximum(ldist[:, None], 1e-20)
         facing = dot(l, world_nrm) >= 0.0
         do_trace = shaded & facing
-        blocked = tracer.any(
-            world_pos, l, SHADOW_T_MIN, jnp.maximum(ldist - SHADOW_T_MIN, SHADOW_T_MIN)
+        vis_dirs.append(jnp.where(do_trace[:, None], l, 0.0))
+        vis_lims.append(
+            jnp.where(do_trace, jnp.maximum(ldist - SHADOW_T_MIN, SHADOW_T_MIN), 0.0)
         )
-        visibility = jnp.where(facing & ~(blocked & do_trace), 1.0, 0.0)
-        visibility = jnp.maximum(visibility, 0.01)  # rgen:129
-        color_a = jnp.where(shaded, color_a * visibility, color_a)
         rays = rays + jnp.sum(do_trace.astype(jnp.float32))
 
     if use_ao:  # rgen:133-169
         tangent, binormal = create_coordinate_system(world_nrm)
-        ao = jnp.zeros((n,), dt)
         for _ in range(AO_SAMPLES):
             seed, d = sampling_hemisphere(seed, tangent, binormal, world_nrm)
             d = normalize(d)
-            hit = tracer.any(world_pos, d, SHADOW_T_MIN, RTAO_RADIUS)
-            ao = ao + jnp.where(hit & shaded, 1.0 / AO_SAMPLES, 0.0)
-        color_a = jnp.where(shaded, color_a * (1.0 - ao), color_a)
+            vis_dirs.append(jnp.where(shaded[:, None], d, 0.0))
+            vis_lims.append(jnp.where(shaded, RTAO_RADIUS, 0.0))
         rays = rays + AO_SAMPLES * jnp.sum(shaded.astype(jnp.float32))
+
+    if vis_dirs:
+        k = len(vis_dirs)
+        hits = tracer.any(
+            jnp.concatenate([world_pos] * k),
+            jnp.concatenate(vis_dirs),
+            SHADOW_T_MIN,
+            jnp.concatenate(vis_lims),
+        )
+        hits = hits.reshape(k, n)
+        seg = 0
+        if use_shadows:
+            blocked = hits[0]
+            seg = 1
+            visibility = jnp.where(facing & ~(blocked & do_trace), 1.0, 0.0)
+            visibility = jnp.maximum(visibility, 0.01)  # rgen:129
+            color_a = jnp.where(shaded, color_a * visibility, color_a)
+        if use_ao:
+            ao = jnp.sum(
+                jnp.where(hits[seg : seg + AO_SAMPLES] & shaded[None, :],
+                          1.0 / AO_SAMPLES, 0.0),
+                axis=0,
+            ).astype(dt)
+            color_a = jnp.where(shaded, color_a * (1.0 - ao), color_a)
 
     diff_rad_hitd = jnp.zeros((n, 4), dt)
     if use_gi:  # rgen:171-282
@@ -165,13 +190,21 @@ def hybrid_frame(
     clamp_weights: bool = False,
     pix=None,
     seeds=None,
+    perm=None,
+    inv_perm=None,
+    denoise_state=None,
 ):
     """Full hybrid frame: G-buffer pass + RT effects + accumulation
-    (main.cpp:506-561). Returns (gbuffer, new_accum, rays).
+    (main.cpp:506-561). Returns (gbuffer, new_accum, rays, denoise_state').
 
     ``pix``/``seeds``: optional per-shard pixel coordinates and RNG states
     (SPMD tiling; the denoiser needs the full frame and is unavailable on
-    sharded tiles — its à-trous window would cross tile boundaries)."""
+    sharded tiles — its à-trous window would cross tile boundaries).
+    ``perm``/``inv_perm``: set when ``pix`` is the FULL frame in tile order
+    (engine layout): the denoiser then un-permutes its image-space inputs
+    and re-permutes the filtered radiance.
+    ``denoise_state``: optional DenoiserState — selects the temporal
+    (reprojecting) denoiser; None falls back to the spatial-only filter."""
     gbuf = gbuffer_pass(scene, tracer, cam, width, height, clear_color, pix=pix)
     seed = seed_pixels(width, height, frame) if seeds is None else seeds
     n = width * height if pix is None else pix.shape[0]
@@ -181,11 +214,29 @@ def hybrid_frame(
         clamp_weights=clamp_weights,
     )
     rays = rays + jnp.asarray(float(n), jnp.float32)  # primary G-buffer rays
-    if use_denoiser and use_gi and pix is None:
-        from vkrt_tpu.models.denoiser import denoise_gi
+    new_state = denoise_state
+    if use_denoiser and use_gi and (pix is None or inv_perm is not None):
+        from vkrt_tpu.models import denoiser as dn
 
-        filtered = denoise_gi(
-            diff_rad_hitd, gbuf.norm_rough, gbuf.view_z, width, height
-        )
+        def unperm(a):
+            return a if inv_perm is None else jnp.take(a, inv_perm, axis=0)
+
+        if denoise_state is not None:
+            filtered, new_state = dn.denoise_temporal(
+                denoise_state,
+                unperm(diff_rad_hitd),
+                unperm(gbuf.norm_rough),
+                unperm(gbuf.view_z),
+                unperm(gbuf.position[:, :3]),
+                cam.view_proj,
+                width, height,
+            )
+        else:
+            filtered = dn.denoise_gi(
+                unperm(diff_rad_hitd), unperm(gbuf.norm_rough),
+                unperm(gbuf.view_z), width, height,
+            )
+        if perm is not None:
+            filtered = jnp.take(filtered, perm, axis=0)
         new_accum = jnp.concatenate([filtered, new_accum[:, 3:4]], axis=-1)
-    return gbuf, new_accum, rays
+    return gbuf, new_accum, rays, new_state

@@ -66,17 +66,31 @@ def bounce_chain(
     hybrid GI overwrites ``hitDists = ...`` (hybrid rgen:257).
     ``clamp_weights``: opt-in extension bounding the path throughput (see
     RenderSettings.clamp_weights).
-    """
-    clear3 = jnp.asarray(clear_color, carry.origin.dtype)[:3]
 
-    def body(d, c: BounceCarry) -> BounceCarry:
-        # dead lanes get a degenerate ray (dir=0, origin parked at infinity):
-        # contribution-neutral, and the trace kernels' block votes skip them
-        # for free (a stale in-scene origin with dir=0 would still slab-test
-        # positive for the box containing it)
+    The loop is *software-pipelined* around the trace kernel: after shading
+    bounce d, the shadow rays of bounce d and the main rays of bounce d+1
+    are batched into ONE unified trace launch (per-lane t-limit; see
+    ops.pallas.trace) — halving the per-bounce kernel launches vs the
+    GLSL's two ``traceRayEXT`` calls per iteration (rgen:64, 85).
+    """
+    if depth <= start_depth:
+        return carry
+    clear3 = jnp.asarray(clear_color, carry.origin.dtype)[:3]
+    n = carry.origin.shape[0]
+    dt = carry.origin.dtype
+
+    def trace_start(c: BounceCarry):
+        # dead lanes get a degenerate ray (dir=0, origin parked at infinity,
+        # t-limit -1): contribution-neutral, and the trace kernel's votes
+        # reject them for free
         live_dir = jnp.where(c.active[:, None], c.direction, 0.0)
         live_origin = jnp.where(c.active[:, None], c.origin, 1e30)
-        hi = tracer.closest(live_origin, live_dir, T_MIN, T_MAX)
+        return tracer.closest(live_origin, live_dir, T_MIN, T_MAX,
+                              t_lim=jnp.where(c.active, T_MAX, -1.0))
+
+    def body(d, c: BounceCarry, hi, trace_next: bool):
+        """Shade bounce d from its hit info, launch the fused
+        (next-main + shadow) trace, apply NEE. Returns (carry, next hit)."""
         miss = ~hi.hit & c.active | ~c.active
         tri = jnp.maximum(hi.tri, 0)
 
@@ -91,16 +105,33 @@ def bounce_chain(
         light_dist_this = jnp.where(miss, c.light_dist, bs.light_dist)
 
         # shadow ray (rgen:77-97): diffuse hits only. Lanes that don't need
-        # one get dir=0 and tmax=0 so the kernel votes skip them.
+        # one get dir=0 and t-limit 0 so the kernel votes skip them.
         do_shadow = c.active & ~miss & ~is_spec_this
-        shadow_hit = tracer.any(
-            surf.world_pos,
-            jnp.where(do_shadow[:, None], bs.shadow_dir, 0.0),
-            T_MIN,
-            jnp.where(
-                do_shadow, jnp.maximum(light_dist_this - 0.1, T_MIN), 0.0
-            ),
+        sh_dir = jnp.where(do_shadow[:, None], bs.shadow_dir, 0.0)
+        sh_lim = jnp.where(
+            do_shadow, jnp.maximum(light_dist_this - 0.1, T_MIN), 0.0
         )
+        active_next = c.active & ~miss
+
+        if trace_next:
+            nx_o = jnp.where(active_next[:, None], surf.world_pos, 1e30)
+            nx_d = jnp.where(active_next[:, None], bs.next_dir, 0.0)
+            nx_lim = jnp.where(active_next, T_MAX, -1.0)
+            res = tracer.closest(
+                jnp.concatenate([nx_o, surf.world_pos]),
+                jnp.concatenate([nx_d, sh_dir]),
+                T_MIN,
+                T_MAX,
+                t_lim=jnp.concatenate([nx_lim, sh_lim]),
+            )
+            hi_next = type(hi)(
+                hit=res.hit[:n], t=res.t[:n], tri=res.tri[:n],
+                u=res.u[:n], v=res.v[:n],
+            )
+            shadow_hit = res.hit[n:]
+        else:
+            shadow_hit = tracer.any(surf.world_pos, sh_dir, T_MIN, sh_lim)
+            hi_next = hi
         shadow_hit = shadow_hit & do_shadow
 
         contrib = jnp.minimum(hit_value_this * c.cur_weight, 10.0)  # rgen:101
@@ -126,29 +157,51 @@ def bounce_chain(
         # those lanes exit the loop and never contribute — skipping the stale
         # multiply is contribution-equivalent and avoids 0*inf NaNs.)
 
-        return BounceCarry(
+        new_c = BounceCarry(
             origin=jnp.where(miss[:, None], c.origin, surf.world_pos),
             direction=jnp.where(miss[:, None], c.direction, bs.next_dir),
             seed=jnp.where(miss, c.seed, bs.seed),
             cur_weight=cur_weight,
             hit_value=hit_value,
-            active=c.active & ~miss,
+            active=active_next,
             is_specular=is_spec_this,
             light_dist=light_dist_this,
             hit_dists=hit_dists,
-            rays_main=c.rays_main + jnp.sum(c.active.astype(jnp.float32)),
+            rays_main=c.rays_main
+            + (jnp.sum(active_next.astype(jnp.float32)) if trace_next else 0.0),
             rays_shadow=c.rays_shadow + jnp.sum(do_shadow.astype(jnp.float32)),
         )
+        return new_c, hi_next
+
+    hi0 = trace_start(carry)
+    carry = carry._replace(
+        rays_main=carry.rays_main + jnp.sum(carry.active.astype(jnp.float32))
+    )
 
     # Static unroll for typical depths: flattening the bounce loop removes a
     # while-level around the trace kernels' lax.map chunks — XLA's scoped-
     # VMEM placement heuristics mis-size buffers under deep loop nests (it
     # tripped compile-time VMEM OOM) — and lets shading fuse across bounces.
     if depth - start_depth <= 8:
+        hi = hi0
         for d in range(start_depth, depth):
-            carry = body(d, carry)
+            carry, hi = body(d, carry, hi, trace_next=(d < depth - 1))
         return carry
-    return jax.lax.fori_loop(start_depth, depth, body, carry)
+    # deep-bounce fallback: fori with the fused trace every iteration (the
+    # final iteration's next-ray half is traced and discarded — bounded waste)
+
+    def fbody(d, state):
+        c, hi = state
+        c, hi = body(d, c, hi, trace_next=True)
+        # the fused call already counted its next rays; the final iteration
+        # over-counts the discarded half, corrected after the loop
+        return c, hi
+
+    carry, _ = jax.lax.fori_loop(start_depth, depth, fbody, (carry, hi0))
+    # remove the dangling next-trace ray count from the last iteration
+    return carry._replace(
+        rays_main=carry.rays_main - jnp.sum(carry.active.astype(jnp.float32))
+    )
 
 
 class PathTraceResult(NamedTuple):
@@ -263,13 +316,18 @@ def pathtrace_frame(
     samples: int,
     depth: int,
     clamp_weights: bool = False,
+    pix=None,
+    seeds=None,
 ):
     """One path-traced frame + accumulation (hello_vulkan.cpp:1423-1448).
 
-    ``accum``: (H*W, 3) running image. Returns (new_accum, rays).
+    ``accum``: (H*W, 3) running image, in the same pixel order as ``pix``
+    (the engine passes tile-ordered pixels for kernel-block coherence).
+    Returns (new_accum, rays).
     """
     res = trace_pixels(
         scene, tracer, cam, width, height, frame, clear_color,
         samples=samples, depth=depth, clamp_weights=clamp_weights,
+        pix=pix, seeds=seeds,
     )
     return accumulate(accum, res.radiance, frame), res.rays

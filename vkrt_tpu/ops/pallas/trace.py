@@ -1,28 +1,37 @@
-"""Fused Pallas trace kernels: cluster-culled ray-triangle intersection.
+"""Fused Pallas trace kernel: octant-ordered vote-tree ray-triangle tracing.
 
 The TPU-native replacement for hardware BVH traversal where it matters — the
-hot ``traceRayEXT`` loop. Design (see SURVEY.md §7 hard-parts):
+hot ``traceRayEXT`` loop. Design (see SURVEY.md §7 hard-parts; refined in
+round 2 after per-stage ablation):
 
-* Triangles are Morton-sorted and packed into **clusters of 64** (contiguous
-  leaf ranges, so clusters are spatially tight); clusters group into
-  **superclusters of 16**. Cluster/super AABBs live in SMEM, triangle SoA
-  components in VMEM as (T_pad, 1) column vectors.
-* One kernel program processes a **block of 1024 rays** (an (8, 128) tile per
-  ray component). Per supercluster word, the block takes slab-test **votes**:
-  per-lane hit bits for up to WORD boxes OR-fold into ONE scalar bitmask
-  (3 sublane folds + 7 lane rotations + one reduction — per-box ``jnp.any``
-  syncs cost ~400 cycles each and dominated the kernel), then only the set
-  bits are visited (popcount/ctz iteration, no branches). Work-skipping by
-  data-dependent scalar control is exactly what XLA's vectorized model
-  cannot express and where Pallas earns its keep; with coherent rays this
-  cuts tested triangles by 1-2 orders of magnitude.
+* Triangles are SAH-ordered and packed into **clusters of 64** (contiguous
+  SAH-subtree ranges, so clusters are spatially tight). Clusters group by 16
+  into a **16-ary AABB tree** (cluster -> super -> super² ...) whose node
+  boxes live as plain VMEM tables; triangle SoA components sit in VMEM as
+  row-major packed (T_pad/128, 128) blocks.
+* One kernel program processes a **block of 1024 rays** (an (8, 128) tile
+  per ray component; the engine feeds 32x32 pixel tiles so a block is a
+  compact frustum). At each tree node the block takes slab-test **votes**
+  over the node's 16 children: per-lane hit bits OR-fold into ONE scalar
+  bitmask (per-box ``jnp.any`` syncs cost ~400 cycles and would dominate),
+  then only set bits are visited (popcount/ctz iteration, no branches).
+* **Near-to-far visiting**: children are voted in per-octant front-to-back
+  order (host-precomputed 4-bit permutations, 2 scalar loads per node; the
+  block's dominant direction octant picks the table row). Early hits shrink
+  the per-lane ``t`` limit, so far children fail their votes and the
+  measured cluster-visit count — the actual cost driver, ~2us per visited
+  cluster per block — collapses.
 * Surviving clusters run an all-vector Möller-Trumbore: triangle components
   broadcast as (8, 1) group columns against (1, 128) ray rows — 1024
-  ray-triangle pairs per VPU op, no per-lane gathers, no scalar loads in the
-  inner loop.
-* Closest-hit keeps per-ray running ``t_best`` in VMEM scratch, which also
-  tightens the votes as the block converges; any-hit (shadow rays) votes with
-  the not-yet-hit mask so fully-shadowed blocks stop testing.
+  ray-triangle pairs per VPU op, no per-lane gathers. Hit state
+  (t/index/u/v) is carried through the visit loops as vector registers, not
+  ``out_ref`` round-trips.
+* **Closest-hit and any-hit are one kernel**: every lane carries its own
+  ``t`` limit (shadow rays pass ``lightDist``; primary rays pass tMax), a
+  hit is "index >= 0 at return", and a shadow lane's first hit tightens its
+  limit to the hit distance so the near-ordered traversal stops feeding it.
+  This halves the per-bounce program count vs separate closest/any kernels
+  and lets callers batch shadow + bounce rays into one launch.
 
 Rays per component are laid out (n_blocks*8, 128) so the grid BlockSpec
 slices one (8, 128) tile per program — fully pipelined by Mosaic.
@@ -41,33 +50,100 @@ from jax.experimental.pallas import tpu as pltpu
 
 CLUSTER = 64          # triangles per cluster
 GROUP = 8             # triangles per inner vector step (sublane dim)
-SUPER = 16            # clusters per supercluster
-BLOCK_ROWS = 8        # ray rows per vote group -> 8*128 = 1024 rays (min sublane tile)
-SUBS = 1              # vote groups per kernel program (4 measured within noise of 1)
-WORD = 16             # boxes per vote word (the Mosaic compile helper crashes
-                      # on words unrolling more than ~26 slab tests)
-PROG_ROWS = BLOCK_ROWS * SUBS
+FANOUT = 16           # tree fanout = boxes per vote word
+BLOCK_ROWS = 8        # ray rows per program -> 8*128 = 1024 rays
+PROG_ROWS = BLOCK_ROWS
 LANES = 128
 INF = 3e38  # python float: jnp scalars would be captured as kernel constants
 _DET_EPS = 1e-9
 
 
 class ClusterScene(NamedTuple):
-    """Triangle data packed for the kernels (host-built, device-resident)."""
+    """Triangle + vote-tree data packed for the kernel (host-built)."""
 
     tri_cols: tuple          # 9 arrays (T_pad//128, 128) f32: v0,e1,e2 xyz,
-                             # row-major packed (lane-dim fully utilized;
-                             # (T,1) columns would pad lanes 128x and blow
-                             # past the 128MB VMEM at ~27k triangle slots)
-    cluster_aabb: jnp.ndarray  # (n_clusters, 8) f32 (minxyz, maxxyz, pad)
-    super_aabb: jnp.ndarray    # (n_super, 8) f32
-    tri_remap: jnp.ndarray     # (T_pad,) i32: packed slot -> original tri id
+                             # row-major packed (lane-dim fully utilized)
+    level_aabb: tuple        # top..bottom, (n_pad, 8) f32 (minxyz,maxxyz,pad)
+    level_order: tuple       # top..bottom, (n_parent_pad*8, 16) i32: packed
+                             # 4-bit child-slot permutations, cols 0/1 =
+                             # lo/hi words, row = parent*8 + octant
+    cluster_aabb: jnp.ndarray  # alias of level_aabb[-1] (bottom level)
+    tri_remap: jnp.ndarray   # (T_pad,) i32: packed slot -> original tri id
     n_clusters: int
-    n_super: int
+    level_counts: tuple      # top..bottom true node counts (static jit key)
+
+
+def _inverted_aabb(n):
+    out = np.zeros((n, 6), np.float32)
+    out[:, :3] = np.inf
+    out[:, 3:] = -np.inf
+    return out
+
+
+def _build_levels(cluster_aabb6: np.ndarray):
+    """16-ary AABB tree over clusters + per-octant near-to-far child orders.
+
+    Returns (level_aabb [(n_pad, 8) f32], level_order [(n_parent*8, 16) i32],
+    level_counts), all top..bottom. Empty/padded nodes carry inverted boxes
+    so they never vote in.
+    """
+    aabbs = [np.asarray(cluster_aabb6[:, :6], np.float32)]
+    counts = [len(cluster_aabb6)]
+    while counts[0] > FANOUT:
+        n = counts[0]
+        npar = -(-n // FANOUT)
+        pad = npar * FANOUT - n
+        if pad:
+            aabbs[0] = np.concatenate([aabbs[0], _inverted_aabb(pad)])
+        grp = aabbs[0].reshape(npar, FANOUT, 6)
+        valid = grp[:, :, 0] <= grp[:, :, 3]
+        pmin = np.where(valid[..., None], grp[:, :, :3], np.inf).min(1)
+        pmax = np.where(valid[..., None], grp[:, :, 3:], -np.inf).max(1)
+        aabbs.insert(0, np.concatenate([pmin, pmax], 1).astype(np.float32))
+        counts.insert(0, npar)
+    # virtual root: pad the top level to one full word of 16
+    if len(aabbs[0]) < FANOUT:
+        aabbs[0] = np.concatenate(
+            [aabbs[0], _inverted_aabb(FANOUT - len(aabbs[0]))]
+        )
+
+    octs = np.array(
+        [[(1.0 if o & 4 else -1.0), (1.0 if o & 2 else -1.0),
+          (1.0 if o & 1 else -1.0)] for o in range(8)],
+        np.float32,
+    )  # octant o -> direction sign vector (x=bit2, y=bit1, z=bit0)
+
+    level_aabb, level_order = [], []
+    for lvl, a in enumerate(aabbs):
+        n_parent = 1 if lvl == 0 else len(aabbs[lvl - 1])
+        a = np.concatenate([a, _inverted_aabb(n_parent * FANOUT - len(a))]) \
+            if len(a) < n_parent * FANOUT else a
+        aabbs[lvl] = a
+        packed = np.zeros((len(a), 8), np.float32)
+        packed[:, :6] = a
+        level_aabb.append(jnp.asarray(packed))
+
+        centers = 0.5 * (a[:, :3] + a[:, 3:6]).reshape(n_parent, FANOUT, 3)
+        invalid = (a[:, 0] > a[:, 3]).reshape(n_parent, FANOUT)
+        order = np.zeros((n_parent * 8, 16), np.int32)
+        for o in range(8):
+            key = np.einsum("pkc,c->pk", centers, octs[o])
+            key = np.where(invalid, np.inf, key)
+            perm = np.argsort(key, axis=1, kind="stable")  # (n_parent, 16)
+            lo = np.zeros(n_parent, np.uint64)
+            hi = np.zeros(n_parent, np.uint64)
+            for b in range(8):
+                lo |= perm[:, b].astype(np.uint64) << np.uint64(4 * b)
+                hi |= perm[:, b + 8].astype(np.uint64) << np.uint64(4 * b)
+            # row layout: parent*8 + octant
+            order[o::8, 0] = lo.astype(np.uint32).view(np.int32)
+            order[o::8, 1] = hi.astype(np.uint32).view(np.int32)
+        level_order.append(jnp.asarray(order))
+    return tuple(level_aabb), tuple(level_order), tuple(counts)
 
 
 def build_cluster_scene(tri_v0, tri_e1, tri_e2) -> ClusterScene:
-    """Pack triangles into clusters + AABB hierarchy for the kernels.
+    """Pack triangles into clusters + vote tree for the kernel.
 
     Prefers the native binned-SAH decomposition (native/bvh_builder.cpp via
     utils.native) — SAH subtrees give tighter cluster boxes than Morton runs,
@@ -81,20 +157,20 @@ def build_cluster_scene(tri_v0, tri_e1, tri_e2) -> ClusterScene:
         np.asarray(tri_e1, np.float32),
         np.asarray(tri_e2, np.float32),
         CLUSTER,
-        SUPER,
+        FANOUT,
     )
     if sah is not None:
-        return _pack_cluster_scene_from_order(tri_v0, tri_e1, tri_e2, *sah)
+        tri_order, cluster_aabb, _super_aabb, n_clusters, _ = sah
+        return _pack_cluster_scene(tri_v0, tri_e1, tri_e2, tri_order,
+                                   cluster_aabb, n_clusters)
     return _build_cluster_scene_morton(tri_v0, tri_e1, tri_e2)
 
 
-def _pack_cluster_scene_from_order(
-    tri_v0, tri_e1, tri_e2, tri_order, cluster_aabb, super_aabb, n_clusters, n_super
-) -> ClusterScene:
+def _pack_cluster_scene(tri_v0, tri_e1, tri_e2, tri_order, cluster_aabb,
+                        n_clusters) -> ClusterScene:
     v0 = np.asarray(tri_v0, np.float32)
     e1 = np.asarray(tri_e1, np.float32)
     e2 = np.asarray(tri_e2, np.float32)
-    t_pad = n_clusters * CLUSTER
     valid = tri_order >= 0
     safe = np.where(valid, tri_order, 0)
 
@@ -103,19 +179,17 @@ def _pack_cluster_scene_from_order(
         return jnp.asarray(out.reshape(-1, 128))
 
     tri_cols = tuple(col(a, j) for a in (v0, e1, e2) for j in range(3))
-
-    def pack_aabb(boxes):
-        out = np.zeros((len(boxes), 8), np.float32)
-        out[:, :6] = boxes
-        return jnp.asarray(out)
-
+    level_aabb, level_order, counts = _build_levels(
+        np.asarray(cluster_aabb[:, :6], np.float32)
+    )
     return ClusterScene(
         tri_cols=tri_cols,
-        cluster_aabb=pack_aabb(cluster_aabb),
-        super_aabb=pack_aabb(super_aabb),
+        level_aabb=level_aabb,
+        level_order=level_order,
+        cluster_aabb=level_aabb[-1],
         tri_remap=jnp.asarray(np.where(valid, tri_order, 0).astype(np.int32)),
         n_clusters=int(n_clusters),
-        n_super=int(n_super),
+        level_counts=counts,
     )
 
 
@@ -143,25 +217,14 @@ def _build_cluster_scene_morton(tri_v0, tri_e1, tri_e2) -> ClusterScene:
     order = np.concatenate([order[~degen[order]], order[degen[order]]])
 
     n_clusters = -(-n // CLUSTER)
-    n_super = -(-n_clusters // SUPER)
-    n_clusters_pad = n_super * SUPER
+    n_clusters_pad = -(-n_clusters // FANOUT) * FANOUT
     t_pad = n_clusters_pad * CLUSTER
 
     remap = np.full(t_pad, 0, np.int32)
     remap[:n] = order
     valid = np.zeros(t_pad, bool)
     valid[:n] = ~degen[order]
-
-    def col(a, j):
-        out = np.zeros(t_pad, np.float32)
-        out[:n] = np.where(valid[:n], a[order, j], 0.0)
-        return jnp.asarray(out.reshape(-1, 128))
-
-    tri_cols = tuple(
-        jnp.asarray(col(a, j))
-        for a in (v0, e1, e2)
-        for j in range(3)
-    )
+    tri_order = np.where(valid, remap, -1)
 
     cmin = np.full((n_clusters_pad, 3), np.inf, np.float32)
     cmax = np.full((n_clusters_pad, 3), -np.inf, np.float32)
@@ -173,34 +236,14 @@ def _build_cluster_scene_morton(tri_v0, tri_e1, tri_e2) -> ClusterScene:
         if m.any():
             cmin[c] = bmin_o[s:e][m].min(0)
             cmax[c] = bmax_o[s:e][m].max(0)
-    smin = np.full((n_super, 3), np.inf, np.float32)
-    smax = np.full((n_super, 3), -np.inf, np.float32)
-    for s in range(n_super):
-        block = cmin[s * SUPER : (s + 1) * SUPER]
-        finite = np.isfinite(block[:, 0])
-        if finite.any():
-            smin[s] = block[finite].min(0)
-            smax[s] = cmax[s * SUPER : (s + 1) * SUPER][finite].max(0)
-
-    def pack_aabb(mn, mx):
-        out = np.zeros((len(mn), 8), np.float32)
-        out[:, :3] = mn
-        out[:, 3:6] = mx
-        return jnp.asarray(out)
-
-    return ClusterScene(
-        tri_cols=tri_cols,
-        cluster_aabb=pack_aabb(cmin, cmax),
-        super_aabb=pack_aabb(smin, smax),
-        tri_remap=jnp.asarray(remap),
-        n_clusters=n_clusters_pad,
-        n_super=n_super,
-    )
+    cluster_aabb = np.concatenate([cmin, cmax], 1)
+    return _pack_cluster_scene(tri_v0, tri_e1, tri_e2, tri_order,
+                               cluster_aabb, n_clusters_pad)
 
 
 def _slab_vote(aabb_ref, idx, ox, oy, oz, ix, iy, iz, t_min, t_lim):
-    """AABB slab test of one box (scalars from SMEM) vs an (8,128) ray tile.
-    Returns ((8,128) bool hit, per-ray tnear unused)."""
+    """AABB slab test of one box (scalars from VMEM) vs an (8,128) ray tile
+    with a per-lane ``t_lim``. Returns (8,128) bool hit."""
     minx = aabb_ref[idx, 0]
     miny = aabb_ref[idx, 1]
     minz = aabb_ref[idx, 2]
@@ -287,7 +330,7 @@ def _or_reduce_scalar(mask):
 
     The naive per-box ``jnp.any`` costs a full vector->scalar sync (~400
     cycles) per box and was measured to dominate the whole kernel; this
-    folds 32 boxes' votes into ONE sync: 3 sublane folds + 7 lane rotations
+    folds 16 boxes' votes into ONE sync: 3 sublane folds + 7 lane rotations
     leave the OR of all 1024 lanes in every element, then a single scalar
     reduction extracts it.
     """
@@ -301,16 +344,6 @@ def _or_reduce_scalar(mask):
     # all values are equal). Bit tests downstream use (x >> k) & 1, which is
     # correct under arithmetic shift too.
     return jnp.max(pltpu.bitcast(m, jnp.int32))
-
-
-def _vote_word(aabb_ref, base, count, ox, oy, oz, ix, iy, iz, t_min, t_lim):
-    """Slab-test up to WORD consecutive boxes against the ray block; returns a
-    scalar with bit b set iff any ray can hit box base+b."""
-    m = jnp.zeros((BLOCK_ROWS, LANES), jnp.uint32)
-    for b in range(count):  # static unroll
-        hit = _slab_vote(aabb_ref, base + b, ox, oy, oz, ix, iy, iz, t_min, t_lim)
-        m = m | jnp.where(hit, jnp.uint32(1 << b), jnp.uint32(0))
-    return _or_reduce_scalar(m)
 
 
 def _popcount32(x):
@@ -333,12 +366,14 @@ def _ctz32(x):
 
 
 def _for_each_set_bit(word, body):
-    """Run ``body(bit_index)`` for every set bit of the scalar vote word.
+    """Run ``body(bit_index)`` for every set bit of ``word``, LSB first
+    (= near-to-far under the octant-ordered vote bits).
 
     Iterating only voted entries (popcount iterations, next bit by ctz)
     replaces the dense fori + pl.when pattern whose per-iteration scalar
-    overhead dominated the kernel (tri work measured ~free; votes + loop
-    machinery were ~100% of runtime)."""
+    overhead dominated the kernel. ``body`` communicates through out_ref —
+    vector loop carries through nested fori_loops were measured ~200x
+    slower (Mosaic copies the carried vregs at every loop boundary)."""
     word_u = word.astype(jnp.uint32)
 
     def step(_, w):
@@ -348,27 +383,30 @@ def _for_each_set_bit(word, body):
     jax.lax.fori_loop(0, _popcount32(word_u), step, word_u)
 
 
-def _closest_kernel(
-    n_super: int,
-    t_min: float,
-    t_max: float,
-    super_ref,
-    cluster_ref,
-    *rest,
-):
-    tri_refs = rest[:9]
-    rays_ref, out_ref = rest[9], rest[10]
-    # rays arrive as ONE packed (PROG_ROWS, 6*128) block and results leave as
-    # ONE packed (PROG_ROWS, 4*128) block ([t | idx-bits | u | v]): a single
-    # DMA each way instead of ten — small-block DMA latency (~2-3us each,
-    # poorly overlapped) was a large share of the per-program floor.
+def _trace_kernel(n_levels: int, t_min: float, *refs):
+    """Unified closest/any trace over the octant-ordered vote tree.
+
+    Rays arrive as ONE packed (8, 7*128) block [o.xyz | d.xyz | t_lim] and
+    results leave as ONE packed (8, 4*128) block [t | idx-bits | u | v]: a
+    single DMA each way (small-block DMA latency was a large share of the
+    per-program floor). A lane's ``t_lim`` is both its tMax and, once a hit
+    lands, its tightening search bound — "any-hit" lanes simply pass their
+    shadow distance and test ``idx >= 0`` afterwards.
+    """
+    L = n_levels
+    aabb_refs = refs[0:L]
+    order_refs = refs[L : 2 * L]
+    tri_refs = refs[2 * L : 2 * L + 9]
+    rays_ref, out_ref = refs[2 * L + 9], refs[2 * L + 10]
+
     rays = rays_ref[:]
-    ox_a = rays[:, 0 * LANES : 1 * LANES]
-    oy_a = rays[:, 1 * LANES : 2 * LANES]
-    oz_a = rays[:, 2 * LANES : 3 * LANES]
-    dx_a = rays[:, 3 * LANES : 4 * LANES]
-    dy_a = rays[:, 4 * LANES : 5 * LANES]
-    dz_a = rays[:, 5 * LANES : 6 * LANES]
+    ox = rays[:, 0 * LANES : 1 * LANES]
+    oy = rays[:, 1 * LANES : 2 * LANES]
+    oz = rays[:, 2 * LANES : 3 * LANES]
+    dx = rays[:, 3 * LANES : 4 * LANES]
+    dy = rays[:, 4 * LANES : 5 * LANES]
+    dz = rays[:, 5 * LANES : 6 * LANES]
+    tm = rays[:, 6 * LANES : 7 * LANES]
 
     def safe_inv(d):
         return pl.reciprocal(
@@ -376,172 +414,107 @@ def _closest_kernel(
             approx=False,
         )
 
-    neg1_bits = pltpu.bitcast(
-        jnp.full((PROG_ROWS, LANES), -1, jnp.int32), jnp.float32
-    )
-    out_ref[:] = jnp.concatenate(
-        [
-            jnp.full((PROG_ROWS, LANES), INF, jnp.float32),
-            neg1_bits,
-            jnp.zeros((PROG_ROWS, 2 * LANES), jnp.float32),
-        ],
-        axis=1,
+    ix, iy, iz = safe_inv(dx), safe_inv(dy), safe_inv(dz)
+
+    # block-dominant direction octant (x=bit2, y=bit1, z=bit0): picks the
+    # near-to-far child order at every tree node. 3 vector->scalar syncs,
+    # once per program. Dead/pad lanes have d=0 and don't skew the vote.
+    oct = (
+        (jnp.sum(dx) >= 0.0).astype(jnp.int32) * 4
+        + (jnp.sum(dy) >= 0.0).astype(jnp.int32) * 2
+        + (jnp.sum(dz) >= 0.0).astype(jnp.int32)
     )
 
     sub_iota = jax.lax.broadcasted_iota(jnp.int32, (GROUP, LANES), 0)
 
-    # each program handles SUBS independent 1024-ray vote groups: same vote
-    # granularity as one-group programs, 1/SUBS the per-program overhead
-    for sub in range(SUBS):
-        rb = sub * BLOCK_ROWS
-        sl = pl.ds(rb, BLOCK_ROWS)
-        ox, oy, oz = ox_a[rb : rb + BLOCK_ROWS], oy_a[rb : rb + BLOCK_ROWS], oz_a[rb : rb + BLOCK_ROWS]
-        dx, dy, dz = dx_a[rb : rb + BLOCK_ROWS], dy_a[rb : rb + BLOCK_ROWS], dz_a[rb : rb + BLOCK_ROWS]
-        ix, iy, iz = safe_inv(dx), safe_inv(dy), safe_inv(dz)
+    # hit state lives in out_ref (read/modify/write row slices): [t | idx
+    # bits | u | v]. t starts at each lane's t limit and tightens as hits
+    # land, so it doubles as the vote cull bound.
+    neg1_bits = pltpu.bitcast(
+        jnp.full((BLOCK_ROWS, LANES), -1, jnp.int32), jnp.float32
+    )
+    out_ref[:] = jnp.concatenate(
+        [tm, neg1_bits, jnp.zeros((BLOCK_ROWS, 2 * LANES), jnp.float32)],
+        axis=1,
+    )
 
-        def cluster_work(c, ox=ox, oy=oy, oz=oz, dx=dx, dy=dy, dz=dz, rb=rb):
-            """Test all 64 triangles of cluster c against this ray group."""
-            tiles = _cluster_tiles(tri_refs, c)
-            for row in range(BLOCK_ROWS):  # static unroll: 128 rays per row
-                oxr = ox[row : row + 1, :]
-                oyr = oy[row : row + 1, :]
-                ozr = oz[row : row + 1, :]
-                dxr = dx[row : row + 1, :]
-                dyr = dy[row : row + 1, :]
-                dzr = dz[row : row + 1, :]
-                r = rb + row
-                t_row = out_ref[r : r + 1, 0:LANES]
-                idx_row = pltpu.bitcast(
-                    out_ref[r : r + 1, LANES : 2 * LANES], jnp.int32
+    def cluster_work(c):
+        """Test all 64 triangles of cluster c against the ray block."""
+        tiles = _cluster_tiles(tri_refs, c)
+        for row in range(BLOCK_ROWS):  # static unroll: 128 rays per row
+            oxr = ox[row : row + 1, :]
+            oyr = oy[row : row + 1, :]
+            ozr = oz[row : row + 1, :]
+            dxr = dx[row : row + 1, :]
+            dyr = dy[row : row + 1, :]
+            dzr = dz[row : row + 1, :]
+            t_row = out_ref[row : row + 1, 0:LANES]
+            idx_row = pltpu.bitcast(
+                out_ref[row : row + 1, LANES : 2 * LANES], jnp.int32
+            )
+            u_row = out_ref[row : row + 1, 2 * LANES : 3 * LANES]
+            v_row = out_ref[row : row + 1, 3 * LANES : 4 * LANES]
+            for g in range(CLUSTER // GROUP):
+                base = c * CLUSTER + g * GROUP
+                t_c, u_c, v_c, valid = _mt_group(
+                    tiles, g, oxr, oyr, ozr, dxr, dyr, dzr, t_min
                 )
-                u_row = out_ref[r : r + 1, 2 * LANES : 3 * LANES]
-                v_row = out_ref[r : r + 1, 3 * LANES : 4 * LANES]
-                for g in range(CLUSTER // GROUP):
-                    base = c * CLUSTER + g * GROUP
-                    t_c, u_c, v_c, valid = _mt_group(
-                        tiles, g, oxr, oyr, ozr, dxr, dyr, dzr, t_min
-                    )
-                    t_c = jnp.where(t_c < t_max, t_c, INF)
-                    # reduce 8 candidate triangles -> best per lane
-                    t_min_g = jnp.min(t_c, axis=0, keepdims=True)  # (1,128)
-                    is_min = t_c == t_min_g
-                    win_sub = jnp.min(
-                        jnp.where(is_min, sub_iota, GROUP), axis=0, keepdims=True
-                    )
-                    pick = sub_iota == win_sub
-                    u_g = jnp.sum(jnp.where(pick, u_c, 0.0), axis=0, keepdims=True)
-                    v_g = jnp.sum(jnp.where(pick, v_c, 0.0), axis=0, keepdims=True)
-                    improved = t_min_g < t_row
-                    t_row = jnp.where(improved, t_min_g, t_row)
-                    idx_g = base + win_sub
-                    idx_row = jnp.where(improved, idx_g, idx_row)
-                    u_row = jnp.where(improved, u_g, u_row)
-                    v_row = jnp.where(improved, v_g, v_row)
-                out_ref[r : r + 1, 0:LANES] = t_row
-                out_ref[r : r + 1, LANES : 2 * LANES] = pltpu.bitcast(
-                    idx_row, jnp.float32
+                # reduce 8 candidate triangles -> best per lane
+                t_min_g = jnp.min(t_c, axis=0, keepdims=True)  # (1,128)
+                is_min = t_c == t_min_g
+                win_sub = jnp.min(
+                    jnp.where(is_min, sub_iota, GROUP), axis=0, keepdims=True
                 )
-                out_ref[r : r + 1, 2 * LANES : 3 * LANES] = u_row
-                out_ref[r : r + 1, 3 * LANES : 4 * LANES] = v_row
-
-        def t_best(sl=sl):
-            return out_ref[sl, 0:LANES]
-
-        def visit_super(s, ox=ox, oy=oy, oz=oz, ix=ix, iy=iy, iz=iz,
-                        cluster_work=cluster_work, t_best=t_best):
-            cword = _vote_word(
-                cluster_ref, s * SUPER, SUPER, ox, oy, oz, ix, iy, iz,
-                t_min, t_best(),
+                pick = sub_iota == win_sub
+                u_g = jnp.sum(jnp.where(pick, u_c, 0.0), axis=0, keepdims=True)
+                v_g = jnp.sum(jnp.where(pick, v_c, 0.0), axis=0, keepdims=True)
+                improved = t_min_g < t_row  # t_row starts at the lane's tMax
+                t_row = jnp.where(improved, t_min_g, t_row)
+                idx_row = jnp.where(improved, base + win_sub, idx_row)
+                u_row = jnp.where(improved, u_g, u_row)
+                v_row = jnp.where(improved, v_g, v_row)
+            out_ref[row : row + 1, 0:LANES] = t_row
+            out_ref[row : row + 1, LANES : 2 * LANES] = pltpu.bitcast(
+                idx_row, jnp.float32
             )
-            _for_each_set_bit(cword, lambda k: cluster_work(s * SUPER + k))
+            out_ref[row : row + 1, 2 * LANES : 3 * LANES] = u_row
+            out_ref[row : row + 1, 3 * LANES : 4 * LANES] = v_row
 
-        for w in range(-(-n_super // WORD)):  # static words of <= WORD supers
-            count = min(WORD, n_super - w * WORD)
-            sword = _vote_word(
-                super_ref, w * WORD, count, ox, oy, oz, ix, iy, iz,
-                t_min, t_best(),
-            )
-            _for_each_set_bit(
-                sword, lambda sb, w=w: visit_super(w * WORD + sb)
-            )
+    def t_best():
+        return out_ref[:, 0:LANES]
 
+    def visit(level, parent):
+        """Vote the 16 children of ``parent`` (near-first bit order) and
+        visit the set bits; static recursion over tree levels."""
+        aabb_ref = aabb_refs[level]
+        order_ref = order_refs[level]
+        row = parent * 8 + oct
+        # int32 -> uint32 by two's-complement wrap = a bit-exact view
+        lo_w = order_ref[row, 0].astype(jnp.uint32)
+        hi_w = order_ref[row, 1].astype(jnp.uint32)
+        t_lim = t_best()
+        m = jnp.zeros((BLOCK_ROWS, LANES), jnp.uint32)
+        for b in range(FANOUT):  # static unroll
+            w = lo_w if b < 8 else hi_w
+            slot = ((w >> jnp.uint32(4 * (b % 8))) & jnp.uint32(15)).astype(jnp.int32)
+            child = parent * FANOUT + slot
+            hit = _slab_vote(aabb_ref, child, ox, oy, oz, ix, iy, iz, t_min, t_lim)
+            m = m | jnp.where(hit, jnp.uint32(1 << b), jnp.uint32(0))
+        word = _or_reduce_scalar(m)
 
-def _any_kernel(
-    n_super: int,
-    t_min: float,
-    super_ref,
-    cluster_ref,
-    *rest,
-):
-    tri_refs = rest[:9]
-    rays_ref, hit_out = rest[9], rest[10]
-    rays = rays_ref[:]  # (PROG_ROWS, 7*128): o, d, tmax packed
-    ox_a = rays[:, 0 * LANES : 1 * LANES]
-    oy_a = rays[:, 1 * LANES : 2 * LANES]
-    oz_a = rays[:, 2 * LANES : 3 * LANES]
-    dx_a = rays[:, 3 * LANES : 4 * LANES]
-    dy_a = rays[:, 4 * LANES : 5 * LANES]
-    dz_a = rays[:, 5 * LANES : 6 * LANES]
-    tm_a = rays[:, 6 * LANES : 7 * LANES]
+        def body(bit):
+            w = jnp.where(bit < 8, lo_w, hi_w)
+            sh = (4 * (bit & 7)).astype(jnp.uint32)
+            slot = ((w >> sh) & jnp.uint32(15)).astype(jnp.int32)
+            child = parent * FANOUT + slot
+            if level == L - 1:
+                cluster_work(child)
+            else:
+                visit(level + 1, child)
 
-    def safe_inv(d):
-        return pl.reciprocal(
-            jnp.where(jnp.abs(d) < 1e-20, jnp.where(d < 0, -1e-20, 1e-20), d),
-            approx=False,
-        )
+        _for_each_set_bit(word, body)
 
-    hit_out[:] = jnp.zeros((PROG_ROWS, LANES), jnp.int32)
-
-    for sub in range(SUBS):
-        rb = sub * BLOCK_ROWS
-        sl = pl.ds(rb, BLOCK_ROWS)
-        ox, oy, oz = ox_a[rb : rb + BLOCK_ROWS], oy_a[rb : rb + BLOCK_ROWS], oz_a[rb : rb + BLOCK_ROWS]
-        dx, dy, dz = dx_a[rb : rb + BLOCK_ROWS], dy_a[rb : rb + BLOCK_ROWS], dz_a[rb : rb + BLOCK_ROWS]
-        tmax = tm_a[rb : rb + BLOCK_ROWS]
-        ix, iy, iz = safe_inv(dx), safe_inv(dy), safe_inv(dz)
-
-        def cluster_work(c, ox=ox, oy=oy, oz=oz, dx=dx, dy=dy, dz=dz,
-                         tmax=tmax, rb=rb):
-            tiles = _cluster_tiles(tri_refs, c)
-            for row in range(BLOCK_ROWS):
-                oxr = ox[row : row + 1, :]
-                oyr = oy[row : row + 1, :]
-                ozr = oz[row : row + 1, :]
-                dxr = dx[row : row + 1, :]
-                dyr = dy[row : row + 1, :]
-                dzr = dz[row : row + 1, :]
-                tmax_row = tmax[row : row + 1, :]
-                r = rb + row
-                hit_row = hit_out[r : r + 1, :]
-                for g in range(CLUSTER // GROUP):
-                    t_c, _, _, _ = _mt_group(
-                        tiles, g, oxr, oyr, ozr, dxr, dyr, dzr, t_min
-                    )
-                    any_hit = jnp.any(t_c < tmax_row, axis=0, keepdims=True)
-                    hit_row = jnp.where(any_hit, 1, hit_row)
-                hit_out[r : r + 1, :] = hit_row
-
-        def visit_super(s, ox=ox, oy=oy, oz=oz, ix=ix, iy=iy, iz=iz,
-                        tmax=tmax, cluster_work=cluster_work, sl=sl):
-            live = hit_out[sl, :] == 0
-            t_live = jnp.where(live, tmax, t_min)  # already-hit lanes cull all
-            cword = _vote_word(
-                cluster_ref, s * SUPER, SUPER, ox, oy, oz, ix, iy, iz,
-                t_min, t_live,
-            )
-            _for_each_set_bit(cword, lambda k: cluster_work(s * SUPER + k))
-
-        for w in range(-(-n_super // WORD)):  # static words of <= WORD supers
-            count = min(WORD, n_super - w * WORD)
-            live_w = hit_out[sl, :] == 0
-            t_live_w = jnp.where(live_w, tmax, t_min)
-            sword = _vote_word(
-                super_ref, w * WORD, count, ox, oy, oz, ix, iy, iz,
-                t_min, t_live_w,
-            )
-            _for_each_set_bit(
-                sword, lambda sb, w=w: visit_super(w * WORD + sb)
-            )
+    visit(0, jnp.int32(0))
 
 
 # Rows of 128 rays per lax.map chunk. Chunking bounds the scoped-VMEM
@@ -550,36 +523,33 @@ def _any_kernel(
 CHUNK_ROWS = 1200  # must be a PROG_ROWS multiple; bounds scoped-VMEM at any resolution
 
 
-def _pack_rays(orig, direction, extra=None):
+def _pack_rays(orig, direction, t_lim):
     """Pad to PROG_ROWS blocks and pack components lane-wise into ONE array:
-    (rows, 6*128) [+ extra column block], so each kernel program takes a
-    single input DMA."""
+    (rows, 7*128) [o | d | t_lim], so each kernel program takes a single
+    input DMA."""
     n = orig.shape[0]
     block = PROG_ROWS * LANES
     n_pad = (-n) % block
     if n_pad:
-        # park pad-ray origins at 1e30 (like bounce_chain's dead lanes): an
-        # origin-0/dir-0 pad would still slab-test positive for any box
-        # spanning the world origin (safe_inv maps dir=0 to +-1e20) and vote
-        # clusters in for discarded work
+        # park pad-ray origins at 1e30 with t_lim=-1: an origin-0/dir-0 pad
+        # would still slab-test positive for any box spanning the world
+        # origin (safe_inv maps dir=0 to +-1e20) and vote clusters in
         orig = jnp.concatenate([orig, jnp.full((n_pad, 3), 1e30, orig.dtype)])
         direction = jnp.concatenate([direction, jnp.zeros((n_pad, 3), direction.dtype)])
-        if extra is not None:
-            extra = jnp.concatenate([extra, jnp.full((n_pad,), -1.0, extra.dtype)])
+        t_lim = jnp.concatenate([t_lim, jnp.full((n_pad,), -1.0, t_lim.dtype)])
     total = orig.shape[0]
     rows = total // LANES
 
     comps = [orig[:, j].reshape(rows, LANES) for j in range(3)]
     comps += [direction[:, j].reshape(rows, LANES) for j in range(3)]
-    if extra is not None:
-        comps.append(extra.reshape(rows, LANES))
+    comps.append(t_lim.reshape(rows, LANES))
     return jnp.concatenate(comps, axis=1), n, rows
 
 
 def _chunk_rows(packed, rows):
     """Reshape (rows, C) to (n_chunks, chunk, C), padding rows to a chunk
-    multiple. Pad rays get origin=1e30 / dir=0 so every slab test rejects
-    them (origin-0 pads would vote in boxes spanning the world origin)."""
+    multiple. Pad rays get origin=1e30 / dir=0 / t_lim=0 so every slab test
+    rejects them."""
     chunk = min(CHUNK_ROWS, rows)
     pad = (-rows) % chunk
     if pad:
@@ -592,36 +562,34 @@ def _chunk_rows(packed, rows):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cs_static", "t_min", "t_max", "interpret")
+    jax.jit, static_argnames=("n_levels", "t_min", "interpret")
 )
-def _closest_call(cs: ClusterScene, orig, direction, cs_static, t_min, t_max, interpret):
-    n_clusters, n_super = cs_static
-    packed, n, rows = _pack_rays(orig, direction)
+def _trace_call(cs: ClusterScene, orig, direction, t_lim, n_levels, t_min, interpret):
+    packed, n, rows = _pack_rays(orig, direction, t_lim)
     chunks, chunk_rows = _chunk_rows(packed, rows)
     ray_spec = pl.BlockSpec(
-        (PROG_ROWS, 6 * LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+        (PROG_ROWS, 7 * LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
     out_spec = pl.BlockSpec(
         (PROG_ROWS, 4 * LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
-    kernel = functools.partial(_closest_kernel, n_super, t_min, t_max)
+    kernel = functools.partial(_trace_kernel, n_levels, t_min)
 
     def chunk_body(chunk):
         out = pl.pallas_call(
             kernel,
             grid=(chunk_rows // PROG_ROWS,),
             in_specs=[
-                # AABB tables live in VMEM: SMEM overflows past ~2k clusters
-                # and Mosaic supports scalar loads from VMEM refs
-                pl.BlockSpec(memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.VMEM),
+                # AABB/order tables live in VMEM: SMEM overflows past ~2k
+                # nodes and Mosaic supports scalar loads from VMEM refs
+                *[pl.BlockSpec(memory_space=pltpu.VMEM)] * (2 * n_levels),
                 *[pl.BlockSpec(memory_space=pltpu.VMEM)] * 9,
                 ray_spec,
             ],
             out_specs=out_spec,
             out_shape=jax.ShapeDtypeStruct((chunk_rows, 4 * LANES), jnp.float32),
             interpret=interpret,
-        )(cs.super_aabb, cs.cluster_aabb, *cs.tri_cols, chunk)
+        )(*cs.level_aabb, *cs.level_order, *cs.tri_cols, chunk)
         # barrier: stop XLA from fusing/holding the frame-sized outputs in
         # scoped VMEM (repeated compile-time VMEM OOMs without it)
         return jax.lax.optimization_barrier(out)
@@ -638,72 +606,37 @@ def _closest_call(cs: ClusterScene, orig, direction, cs_static, t_min, t_max, in
     return hit, jnp.where(hit, t, 0.0), jnp.where(hit, tri, -1), u, v
 
 
-@functools.partial(jax.jit, static_argnames=("cs_static", "t_min", "interpret"))
-def _any_call(cs: ClusterScene, orig, direction, t_max_per_ray, cs_static, t_min, interpret):
-    n_clusters, n_super = cs_static
-    packed, n, rows = _pack_rays(orig, direction, extra=t_max_per_ray)
-    chunks, chunk_rows = _chunk_rows(packed, rows)
-    ray_spec = pl.BlockSpec(
-        (PROG_ROWS, 7 * LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
-    )
-    out_spec = pl.BlockSpec(
-        (PROG_ROWS, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
-    )
-    kernel = functools.partial(_any_kernel, n_super, t_min)
-
-    def chunk_body(chunk):
-        out = pl.pallas_call(
-            kernel,
-            grid=(chunk_rows // PROG_ROWS,),
-            in_specs=[
-                pl.BlockSpec(memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.VMEM),
-                *[pl.BlockSpec(memory_space=pltpu.VMEM)] * 9,
-                ray_spec,
-            ],
-            out_specs=out_spec,
-            out_shape=jax.ShapeDtypeStruct((chunk_rows, LANES), jnp.int32),
-            interpret=interpret,
-        )(cs.super_aabb, cs.cluster_aabb, *cs.tri_cols, chunk)
-        return jax.lax.optimization_barrier(out)
-
-    out = jax.lax.map(chunk_body, chunks)
-    return out.reshape(-1)[:n] > 0
-
-
 class PallasTracer(NamedTuple):
-    """Trace backend running the fused cluster kernels."""
+    """Trace backend running the fused vote-tree kernel."""
 
     cs: ClusterScene
     interpret: bool
 
-    def closest(self, orig, direction, t_min, t_max):
+    def _call(self, orig, direction, t_min, t_lim):
+        return _trace_call(
+            self.cs, orig, direction, t_lim,
+            len(self.cs.level_counts), float(t_min), self.interpret,
+        )
+
+    def closest(self, orig, direction, t_min, t_max, t_lim=None):
+        """Closest hit. ``t_lim``: optional per-ray tMax override (used by
+        fused shadow+bounce batches)."""
         from vkrt_tpu.ops.trace import HitInfo
 
-        hit, t, tri, u, v = _closest_call(
-            self.cs,
-            orig,
-            direction,
-            (self.cs.n_clusters, self.cs.n_super),
-            float(t_min),
-            float(t_max),
-            self.interpret,
-        )
+        if t_lim is None:
+            t_lim = jnp.broadcast_to(
+                jnp.asarray(t_max, orig.dtype), orig.shape[:1]
+            )
+        hit, t, tri, u, v = self._call(orig, direction, t_min, t_lim)
         return HitInfo(hit=hit, t=t, tri=tri, u=u, v=v)
 
     def any(self, orig, direction, t_min, t_max):
-        t_max_per_ray = jnp.broadcast_to(
+        """Any-hit (shadow/visibility); ``t_max`` may be per-ray."""
+        t_lim = jnp.broadcast_to(
             jnp.asarray(t_max, orig.dtype), orig.shape[:1]
         )
-        return _any_call(
-            self.cs,
-            orig,
-            direction,
-            t_max_per_ray,
-            (self.cs.n_clusters, self.cs.n_super),
-            float(t_min),
-            self.interpret,
-        )
+        hit, _, _, _, _ = self._call(orig, direction, t_min, t_lim)
+        return hit
 
 
 def make_pallas_tracer(scene, interpret: bool = None) -> PallasTracer:

@@ -52,13 +52,14 @@ class SortingTracer(NamedTuple):
         )
         return perm
 
-    def closest(self, origin, direction, t_min, t_max):
+    def closest(self, origin, direction, t_min, t_max, t_lim=None):
         from vkrt_tpu.ops.trace import HitInfo
 
         perm = self._perm(origin, direction)
         o_s = jnp.take(origin, perm, axis=0)
         d_s = jnp.take(direction, perm, axis=0)
-        hi = self.inner.closest(o_s, d_s, t_min, t_max)
+        tl_s = None if t_lim is None else jnp.take(t_lim, perm)
+        hi = self.inner.closest(o_s, d_s, t_min, t_max, t_lim=tl_s)
         inv = jnp.zeros_like(perm).at[perm].set(
             jnp.arange(perm.shape[0], dtype=perm.dtype)
         )

@@ -203,7 +203,11 @@ class Tracer(NamedTuple):
     tri_e2: jnp.ndarray
     bvh: Optional[object]
 
-    def closest(self, orig, direction, t_min, t_max) -> HitInfo:
+    def closest(self, orig, direction, t_min, t_max, t_lim=None) -> HitInfo:
+        """``t_lim``: optional per-ray tMax override (fused shadow+bounce
+        batches pass per-lane limits; mt_block broadcasts (N,) t_max)."""
+        if t_lim is not None:
+            t_max = t_lim
         if self.bvh is None:
             return trace_closest_bruteforce(
                 self.tri_v0, self.tri_e1, self.tri_e2, orig, direction, t_min, t_max

@@ -97,7 +97,7 @@ def make_sharded_hybrid_step(
 
     def shard_body(cam, frame, accum_shard, clear_color, pix, pid):
         seeds = tea(pid, jnp.uint32(frame))
-        gbuf, new_accum, rays = hybrid_frame(
+        gbuf, new_accum, rays, _ = hybrid_frame(
             scene, tracer, cam, frame, accum_shard, clear_color,
             width=width, height=height, depth=depth,
             use_shadows=use_shadows, use_ao=use_ao, use_gi=use_gi,

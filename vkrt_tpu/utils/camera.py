@@ -108,6 +108,32 @@ def pixel_coords(width: int, height: int):
     return jnp.stack([px.reshape(-1), py.reshape(-1)], axis=-1)
 
 
+def tile_perm(width: int, height: int, tile: int = 32):
+    """Pixel permutation tiling the frame into ``tile`` x ``tile`` blocks.
+
+    The Pallas trace kernels vote per 1024-ray program block; in scanline
+    order a block is a 1024x1 pixel stripe whose frustum sweeps a huge
+    cluster footprint (measured: mean 16 voted clusters/block on Cornell
+    primaries). In tile order one block is one 32x32 pixel tile — a compact
+    frustum — so the block's voted-cluster union collapses. Within a tile
+    pixels stay row-major, so each 128-lane vector row is a 32x4 strip.
+
+    Returns (perm, inv_perm) int32 numpy arrays with
+    ``pixels_tiled = pixels[perm]`` and ``image = out[inv_perm]``.
+    """
+    ys, xs = np.mgrid[0:height, 0:width]
+    key = (
+        ((ys // tile) * ((width + tile - 1) // tile) + (xs // tile)).astype(np.int64)
+        * (tile * tile)
+        + (ys % tile) * tile
+        + (xs % tile)
+    ).reshape(-1)
+    perm = np.argsort(key, kind="stable").astype(np.int32)
+    inv = np.empty_like(perm)
+    inv[perm] = np.arange(perm.size, dtype=np.int32)
+    return perm, inv
+
+
 def generate_rays(cam: CameraMatrices, width: int, height: int, jitter, pix=None):
     """Primary rays exactly as raytrace.rgen:44-55.
 

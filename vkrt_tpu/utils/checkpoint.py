@@ -23,6 +23,9 @@ import jax.numpy as jnp
 def _fingerprint(engine) -> str:
     """Hash everything that invalidates accumulation when changed."""
     parts = {
+        # accum buffers live in tile order (engine._alloc_buffers); the tag
+        # rejects checkpoints from layouts that ordered pixels differently
+        "layout": "tile32",
         "settings": dataclasses.asdict(engine.settings),
         "camera": dataclasses.asdict(engine.camera),
         "clear": np.asarray(engine.clear_color).tolist(),
