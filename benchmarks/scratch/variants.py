@@ -23,7 +23,7 @@ LANES, BLOCK_ROWS, FANOUT, CLUSTER, GROUP = (
     T.LANES, T.BLOCK_ROWS, T.FANOUT, T.CLUSTER, T.GROUP)
 
 
-def make_kernel(variant, n_levels, t_min):
+def make_kernel(variant, n_levels, t_min, true_super=0):
     def kernel(*refs):
         L = n_levels
         aabb_refs = refs[0:L]
@@ -118,9 +118,9 @@ def make_kernel(variant, n_levels, t_min):
 
         if variant == "flat":
             # round-1 structure: static words over the supers (parents of
-            # clusters), fori depth 2
+            # clusters), fori depth 2; scan only the REAL supers
             aabb_sup = aabb_refs[L - 2]
-            n_sup = aabb_sup.shape[0]
+            n_sup = -(-true_super // FANOUT) * FANOUT
             for w in range(n_sup // FANOUT):
                 t_lim = t_best()
                 m = jnp.zeros((BLOCK_ROWS, LANES), jnp.uint32)
@@ -141,7 +141,7 @@ def make_kernel(variant, n_levels, t_min):
 
 def make_call(cs, variant):
     n_levels = len(cs.level_counts)
-    kernel = make_kernel(variant, n_levels, T_MIN)
+    kernel = make_kernel(variant, n_levels, T_MIN, true_super=cs.level_counts[-2])
 
     def call(orig, direction):
         t_lim = jnp.full(orig.shape[:1], T_MAX, jnp.float32)

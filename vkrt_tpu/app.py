@@ -45,6 +45,9 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--no-ao", action="store_true")
     p.add_argument("--gi", action="store_true", help="enable hybrid GI")
     p.add_argument("--denoiser", action="store_true", help="enable SVGF denoiser (GI)")
+    p.add_argument("--alpha-test", action="store_true",
+                   help="enable alpha-tested transparency (the reference's "
+                        "unwired any-hit shaders, finished; see ops/alpha.py)")
     p.add_argument("--view-accumulated", action="store_true")
     p.add_argument("--clear-color", type=float, nargs=3, default=None)
     p.add_argument(
@@ -60,6 +63,13 @@ def build_argparser() -> argparse.ArgumentParser:
                         "write a PNG per frame (out name gets _NNNN suffix)")
     p.add_argument("--orbit-radius", type=float, default=18.0)
     p.add_argument("--orbit-height", type=float, default=6.0)
+    p.add_argument("--mesh", default=None, metavar="TILE,SPP",
+                   help="render over a (tile, spp) device mesh via shard_map "
+                        "(e.g. --mesh 4,2 needs 8 devices; on CPU set "
+                        "XLA_FLAGS=--xla_force_host_platform_device_count=8)")
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU backend (env vars cannot: the TPU "
+                        "plugin ignores JAX_PLATFORM_NAME/JAX_PLATFORMS)")
     p.add_argument("--out", default="out.png")
     p.add_argument("--procedural", choices=["cornell", "city"], default=None,
                    help="use a procedural scene instead of a file")
@@ -79,6 +89,13 @@ def main(argv=None) -> int:
     args = parser.parse_args(argv)
     if args.frames < 1:
         parser.error(f"--frames must be >= 1 (got {args.frames})")
+
+    if args.cpu:
+        # the ONLY reliable CPU forcing under the axon TPU plugin (the
+        # JAX_PLATFORMS / JAX_PLATFORM_NAME env vars are ignored by it)
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     from vkrt_tpu.utils.jaxcache import enable as enable_cache
 
@@ -127,6 +144,7 @@ def main(argv=None) -> int:
         stop_at_max_frames=args.max_frames is not None,
         use_denoiser=args.denoiser,
         backend=args.backend,
+        alpha_test=args.alpha_test,
     )
     cam = Camera(
         eye=tuple(args.eye) if args.eye else (0.0, 0.0, 15.0),
@@ -134,6 +152,9 @@ def main(argv=None) -> int:
         fov_deg=args.fov,
     )
     clear = tuple(args.clear_color) + (1.0,) if args.clear_color else DEFAULT_CLEAR_COLOR
+
+    if args.mesh:
+        return run_sharded(args, scene, settings, cam, clear, width, height)
 
     engine = Engine(scene, width, height, settings, cam, clear)
 
@@ -183,6 +204,78 @@ def main(argv=None) -> int:
     if args.save_state:
         checkpoint.save(engine, args.save_state)
         print(f"saved state to {args.save_state}")
+    write_png(args.out, img)
+    print(f"wrote {args.out}")
+    return 0
+
+
+def run_sharded(args, scene, settings, cam_obj, clear, width, height) -> int:
+    """Multi-device rendering via vkrt_tpu.parallel (SURVEY §2d mesh story):
+    pixel tiles over the 'tile' axis, sample groups over 'spp' (one psum)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from vkrt_tpu.models import post
+    from vkrt_tpu.ops.trace import make_tracer
+    from vkrt_tpu.parallel.mesh import make_render_mesh
+    from vkrt_tpu.parallel.render import (
+        device_put_accum,
+        make_sharded_hybrid_step,
+        render_sharded,
+    )
+
+    n_tile, n_spp = (int(x) for x in args.mesh.split(","))
+    if n_tile * n_spp > jax.device_count():
+        print(f"--mesh {args.mesh} needs {n_tile*n_spp} devices, have "
+              f"{jax.device_count()}", file=sys.stderr)
+        return 2
+    mesh = make_render_mesh(n_tile=n_tile, n_spp=n_spp)
+    tracer = make_tracer(scene, args.backend, alpha=args.alpha_test)
+    cam = cam_obj.matrices(width, height)
+    t0 = time.time()
+    if settings.rt_mode == 1:
+        accum, rays = render_sharded(
+            scene, tracer, cam, mesh, width=width, height=height,
+            samples=settings.samples, depth=settings.depth,
+            frames=args.frames, clear_color=clear,
+        )
+        out = post.composite(
+            None,
+            jnp.concatenate([accum, jnp.ones_like(accum[:, :1])], axis=1),
+            rt_mode=1, view_accumulated=settings.view_accumulated,
+            use_gi=settings.use_gi,
+        )
+    else:
+        if n_spp != 1:
+            print("hybrid mode shards pixels only; use --mesh N,1", file=sys.stderr)
+            return 2
+        step = make_sharded_hybrid_step(
+            scene, tracer, mesh, width=width, height=height,
+            depth=settings.depth, use_shadows=settings.use_shadows,
+            use_ao=settings.use_ao, use_gi=settings.use_gi,
+        )
+        accum = jax.device_put(
+            jnp.zeros((width * height, 4), jnp.float32),
+            NamedSharding(mesh, P("tile")),
+        )
+        clear4 = jnp.asarray(clear, jnp.float32)
+        rays = 0.0
+        gbuf = None
+        for f in range(args.frames):
+            gbuf, accum, r = step(cam, f, accum, clear4)
+            rays += float(r)
+        out = post.composite(
+            gbuf.color[:, :3], accum, rt_mode=0,
+            view_accumulated=settings.view_accumulated, use_gi=settings.use_gi,
+        )
+    img = post.to_u8_image(out, width, height)
+    dt = time.time() - t0
+    mrays = rays / dt / 1e6 if dt > 0 else 0.0
+    print(
+        f"sharded mesh(tile={n_tile}, spp={n_spp}): {args.frames} frames at "
+        f"{width}x{height} in {dt:.3f}s ({mrays:.1f} Mrays/s incl. compile)"
+    )
     write_png(args.out, img)
     print(f"wrote {args.out}")
     return 0
