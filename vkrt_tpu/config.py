@@ -47,6 +47,13 @@ class RenderSettings:
     # cosTheta allowed negative) has unbounded two-sided tails that its
     # one-sided firefly clamp (rgen:101) does not contain; this bounds them.
     clamp_weights: bool = False
+    # Alpha-tested transparency (stochastic punch-through, ops/alpha.py).
+    # Default off = reference-faithful: the reference SHIPS any-hit shaders
+    # for this (raytrace_rahit_todo.glsl) but never wires them into the
+    # pipeline (commented hookup, hello_vulkan.cpp:1185-1191), so e.g. the
+    # BLEND sphere in cornell.gltf renders opaque there. Enabling finishes
+    # the feature.
+    alpha_test: bool = False
 
     def replace(self, **kw) -> "RenderSettings":
         return dataclasses.replace(self, **kw)

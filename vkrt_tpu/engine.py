@@ -44,13 +44,20 @@ class Engine:
         camera: Camera = Camera(),
         clear_color=DEFAULT_CLEAR_COLOR,
     ):
+        # an InstancedScene keeps object-space geometry for cheap re-pose
+        # (set_node_transform); a plain SceneArrays renders statically
+        self.instances = None
+        if type(scene).__name__ == "InstancedScene":
+            self.instances = scene
+            scene = scene.scene
         self.scene = scene
         self.width = width
         self.height = height
         self.settings = settings
         self.camera = camera
         self.clear_color = jnp.asarray(clear_color, jnp.float32)
-        self.tracer = make_tracer(scene, settings.backend)
+        self.tracer = make_tracer(scene, settings.backend,
+                                  alpha=settings.alpha_test)
         self.frame = -1
         self._ref_cam: Optional[Camera] = None
         self._total_rays = jnp.zeros((), jnp.float32)
@@ -148,14 +155,40 @@ class Engine:
                 or settings.temporal_denoiser != self.settings.temporal_denoiser
                 or settings.clamp_weights != self.settings.clamp_weights
                 or settings.backend != self.settings.backend
+                or settings.alpha_test != self.settings.alpha_test
             )
-            if settings.backend != self.settings.backend:
-                self.tracer = make_tracer(self.scene, settings.backend)
+            if (settings.backend != self.settings.backend
+                    or settings.alpha_test != self.settings.alpha_test):
+                self.tracer = make_tracer(self.scene, settings.backend,
+                                          alpha=settings.alpha_test)
             self.settings = settings
             if needs_rejit:
                 self._alloc_buffers()  # resets denoiser history to match
                 self._build_jits()
             self.reset_frame()  # any UI change calls resetFrame (main.cpp:103)
+
+    def set_node_transform(self, prim_idx: int, world_matrix):
+        """Re-pose one scene node (the reference's instance-transform update,
+        createTopLevelAsGltf hello_vulkan.cpp:1031-1047): splice the re-baked
+        primitive into the scene arrays and REFIT the trace structure (cost
+        scales with the moved subset — no full SAH rebuild). Requires the
+        engine to have been built from an InstancedScene.
+
+        The frame step retraces (the scene is closure-captured) but its HLO
+        is pose-independent, so the persistent XLA cache serves the compile.
+        """
+        if self.instances is None:
+            raise ValueError(
+                "engine was not built from an InstancedScene; load via "
+                "scene_instances.load_scene_instanced to enable re-posing"
+            )
+        from vkrt_tpu import scene_instances as si
+
+        self.instances, moved = si.repose(self.instances, prim_idx, world_matrix)
+        self.scene = self.instances.scene
+        self.tracer = si.repose_tracer(self.tracer, self.instances, moved)
+        self._build_jits()
+        self.reset_frame()  # geometry changed: restart accumulation
 
     def resize(self, width: int, height: int):
         """onResize (hello_vulkan.cpp:620-626)."""

@@ -97,7 +97,8 @@ def hybrid_effects(
 
     if vis_dirs:
         k = len(vis_dirs)
-        hits = tracer.any(
+        vis_tracer = tracer.with_seed(seed) if hasattr(tracer, "with_seed") else tracer
+        hits = vis_tracer.any(
             jnp.concatenate([world_pos] * k),
             jnp.concatenate(vis_dirs),
             SHADOW_T_MIN,

@@ -79,14 +79,18 @@ def bounce_chain(
     n = carry.origin.shape[0]
     dt = carry.origin.dtype
 
+    def seeded(c: BounceCarry):
+        # alpha-aware tracers draw punch-through RNG from the lane seeds
+        return tracer.with_seed(c.seed) if hasattr(tracer, "with_seed") else tracer
+
     def trace_start(c: BounceCarry):
         # dead lanes get a degenerate ray (dir=0, origin parked at infinity,
         # t-limit -1): contribution-neutral, and the trace kernel's votes
         # reject them for free
         live_dir = jnp.where(c.active[:, None], c.direction, 0.0)
         live_origin = jnp.where(c.active[:, None], c.origin, 1e30)
-        return tracer.closest(live_origin, live_dir, T_MIN, T_MAX,
-                              t_lim=jnp.where(c.active, T_MAX, -1.0))
+        return seeded(c).closest(live_origin, live_dir, T_MIN, T_MAX,
+                                 t_lim=jnp.where(c.active, T_MAX, -1.0))
 
     def body(d, c: BounceCarry, hi, trace_next: bool):
         """Shade bounce d from its hit info, launch the fused
@@ -117,7 +121,7 @@ def bounce_chain(
             nx_o = jnp.where(active_next[:, None], surf.world_pos, 1e30)
             nx_d = jnp.where(active_next[:, None], bs.next_dir, 0.0)
             nx_lim = jnp.where(active_next, T_MAX, -1.0)
-            res = tracer.closest(
+            res = seeded(c).closest(
                 jnp.concatenate([nx_o, surf.world_pos]),
                 jnp.concatenate([nx_d, sh_dir]),
                 T_MIN,
@@ -130,7 +134,7 @@ def bounce_chain(
             )
             shadow_hit = res.hit[n:]
         else:
-            shadow_hit = tracer.any(surf.world_pos, sh_dir, T_MIN, sh_lim)
+            shadow_hit = seeded(c).any(surf.world_pos, sh_dir, T_MIN, sh_lim)
             hi_next = hi
         shadow_hit = shadow_hit & do_shadow
 

@@ -48,6 +48,8 @@ class SceneArrays(NamedTuple):
     mat_normal_tex: jnp.ndarray    # (M,) i32
     mat_emissive: jnp.ndarray      # (M,3)
     mat_emissive_tex: jnp.ndarray  # (M,) i32
+    mat_alpha_mode: jnp.ndarray    # (M,) i32: 0 opaque / 1 mask / 2 blend
+    mat_alpha_cutoff: jnp.ndarray  # (M,) f32 (MASK mode)
     # lights SoA — GltfLight (host_device.h:131-137)
     light_pos: jnp.ndarray        # (L,3)
     light_color: jnp.ndarray      # (L,3)
@@ -136,6 +138,65 @@ def _compute_tangents(positions, normals, uvs, indices):
     return np.concatenate([t, np.ones((len(v), 1), np.float32)], axis=-1)
 
 
+def _bake_primitive(prim):
+    """World-bake one glTF primitive: returns (v0, v1, v2, corner_normal,
+    corner_tangent, corner_uv, mat_ids) as numpy arrays. This is the unit of
+    instance re-pose (scene_instances): a node transform change re-runs ONLY
+    its primitives through this function."""
+    m = prim.world_matrix.astype(np.float64)
+    inv = np.linalg.inv(m)
+    pos = prim.positions @ m[:3, :3].T + m[:3, 3]
+    idx = prim.indices.astype(np.int64)
+    tri = idx.reshape(-1, 3)
+    v0, v1, v2 = pos[tri[:, 0]], pos[tri[:, 1]], pos[tri[:, 2]]
+
+    if prim.normals is not None:
+        # normal transform: n * W2O == (M^-1)^T n (raytrace.rchit:74)
+        nrm = prim.normals @ inv[:3, :3]
+        ln = np.linalg.norm(nrm, axis=-1, keepdims=True)
+        nrm = nrm / np.maximum(ln, 1e-20)
+        cn = np.stack([nrm[tri[:, 0]], nrm[tri[:, 1]], nrm[tri[:, 2]]], axis=1)
+    else:
+        fn = _flat_normals(v0, v1, v2)
+        cn = np.repeat(fn[:, None, :], 3, axis=1)
+
+    uv = prim.uvs if prim.uvs is not None else np.zeros((len(pos), 2), np.float32)
+    cuv = np.stack([uv[tri[:, 0]], uv[tri[:, 1]], uv[tri[:, 2]]], axis=1)
+
+    if prim.tangents is not None:
+        tg_xyz = prim.tangents[:, :3] @ inv[:3, :3]  # like normals (rchit:76)
+        ln = np.linalg.norm(tg_xyz, axis=-1, keepdims=True)
+        tg_xyz = tg_xyz / np.maximum(ln, 1e-20)
+        tg = np.concatenate([tg_xyz, prim.tangents[:, 3:4]], axis=-1)
+    else:
+        vertex_n = (
+            prim.normals @ inv[:3, :3]
+            if prim.normals is not None
+            else np.zeros((len(pos), 3), np.float32)
+        )
+        ln = np.linalg.norm(vertex_n, axis=-1, keepdims=True)
+        vertex_n = np.where(ln > 1e-12, vertex_n / np.maximum(ln, 1e-20), [0, 0, 1.0])
+        tg = _compute_tangents(pos.astype(np.float32), vertex_n.astype(np.float32), uv, idx)
+    ctg = np.stack([tg[tri[:, 0]], tg[tri[:, 1]], tg[tri[:, 2]]], axis=1)
+
+    # materialIndex clamped with max(0, idx) as in raytrace.rchit:38
+    mat_id = max(0, prim.material)
+    return v0, v1, v2, cn, ctg, cuv, np.full(len(tri), mat_id, np.int32)
+
+
+def _uv_density(v0, v1, v2, cuv):
+    """Per-triangle sqrt(uv area / world area) for mip LOD selection."""
+    e1f = (v1 - v0).astype(np.float64)
+    e2f = (v2 - v0).astype(np.float64)
+    world_area = 0.5 * np.linalg.norm(np.cross(e1f, e2f), axis=-1)
+    duv1 = (cuv[:, 1] - cuv[:, 0]).astype(np.float64)
+    duv2 = (cuv[:, 2] - cuv[:, 0]).astype(np.float64)
+    uv_area = 0.5 * np.abs(duv1[:, 0] * duv2[:, 1] - duv1[:, 1] * duv2[:, 0])
+    return np.sqrt(
+        np.where(world_area > 1e-20, uv_area / np.maximum(world_area, 1e-20), 0.0)
+    ).astype(np.float32)
+
+
 def build_scene(
     doc: gltf_mod.GltfDocument,
     pad_to: int = TRI_PAD,
@@ -146,51 +207,14 @@ def build_scene(
     all_n, all_tg, all_uv, all_mat = [], [], [], []
 
     for prim in doc.primitives:
-        m = prim.world_matrix.astype(np.float64)
-        inv = np.linalg.inv(m)
-        pos = prim.positions @ m[:3, :3].T + m[:3, 3]
-        idx = prim.indices.astype(np.int64)
-        tri = idx.reshape(-1, 3)
-        v0, v1, v2 = pos[tri[:, 0]], pos[tri[:, 1]], pos[tri[:, 2]]
-
-        if prim.normals is not None:
-            # normal transform: n * W2O == (M^-1)^T n (raytrace.rchit:74)
-            nrm = prim.normals @ inv[:3, :3]
-            ln = np.linalg.norm(nrm, axis=-1, keepdims=True)
-            nrm = nrm / np.maximum(ln, 1e-20)
-            cn = np.stack([nrm[tri[:, 0]], nrm[tri[:, 1]], nrm[tri[:, 2]]], axis=1)
-        else:
-            fn = _flat_normals(v0, v1, v2)
-            cn = np.repeat(fn[:, None, :], 3, axis=1)
-
-        uv = prim.uvs if prim.uvs is not None else np.zeros((len(pos), 2), np.float32)
-        cuv = np.stack([uv[tri[:, 0]], uv[tri[:, 1]], uv[tri[:, 2]]], axis=1)
-
-        if prim.tangents is not None:
-            tg_xyz = prim.tangents[:, :3] @ inv[:3, :3]  # like normals (rchit:76)
-            ln = np.linalg.norm(tg_xyz, axis=-1, keepdims=True)
-            tg_xyz = tg_xyz / np.maximum(ln, 1e-20)
-            tg = np.concatenate([tg_xyz, prim.tangents[:, 3:4]], axis=-1)
-        else:
-            vertex_n = (
-                prim.normals @ inv[:3, :3]
-                if prim.normals is not None
-                else np.zeros((len(pos), 3), np.float32)
-            )
-            ln = np.linalg.norm(vertex_n, axis=-1, keepdims=True)
-            vertex_n = np.where(ln > 1e-12, vertex_n / np.maximum(ln, 1e-20), [0, 0, 1.0])
-            tg = _compute_tangents(pos.astype(np.float32), vertex_n.astype(np.float32), uv, idx)
-        ctg = np.stack([tg[tri[:, 0]], tg[tri[:, 1]], tg[tri[:, 2]]], axis=1)
-
-        # materialIndex clamped with max(0, idx) as in raytrace.rchit:38
-        mat_id = max(0, prim.material)
+        v0, v1, v2, cn, ctg, cuv, mat_ids = _bake_primitive(prim)
         all_v0.append(v0)
         all_v1.append(v1)
         all_v2.append(v2)
         all_n.append(cn)
         all_tg.append(ctg)
         all_uv.append(cuv)
-        all_mat.append(np.full(len(tri), mat_id, np.int32))
+        all_mat.append(mat_ids)
 
     v0 = np.concatenate(all_v0).astype(np.float32)
     v1 = np.concatenate(all_v1).astype(np.float32)
@@ -245,16 +269,7 @@ def build_scene(
         images, [k in srgb_images for k in range(len(images))]
     )
 
-    # per-triangle UV density for mip LOD (sqrt of uv/world area ratio)
-    e1f = (v1 - v0).astype(np.float64)
-    e2f = (v2 - v0).astype(np.float64)
-    world_area = 0.5 * np.linalg.norm(np.cross(e1f, e2f), axis=-1)
-    duv1 = (cuv[:, 1] - cuv[:, 0]).astype(np.float64)
-    duv2 = (cuv[:, 2] - cuv[:, 0]).astype(np.float64)
-    uv_area = 0.5 * np.abs(duv1[:, 0] * duv2[:, 1] - duv1[:, 1] * duv2[:, 0])
-    density = np.sqrt(
-        np.where(world_area > 1e-20, uv_area / np.maximum(world_area, 1e-20), 0.0)
-    ).astype(np.float32)
+    density = _uv_density(v0, v1, v2, cuv)
 
     return SceneArrays(
         tri_v0=jnp.asarray(v0, dtype),
@@ -276,6 +291,8 @@ def build_scene(
         mat_normal_tex=jnp.asarray([m.normal_texture for m in mats], jnp.int32),
         mat_emissive=jnp.asarray(np.stack([m.emissive_factor for m in mats]), dtype),
         mat_emissive_tex=jnp.asarray([m.emissive_texture for m in mats], jnp.int32),
+        mat_alpha_mode=jnp.asarray([m.alpha_mode for m in mats], jnp.int32),
+        mat_alpha_cutoff=jnp.asarray([m.alpha_cutoff for m in mats], dtype),
         light_pos=jnp.asarray(np.stack([l.position for l in lights]), dtype),
         light_color=jnp.asarray(np.stack([l.color for l in lights]), dtype),
         light_intensity=jnp.asarray([l.intensity for l in lights], dtype),

@@ -59,6 +59,12 @@ class GltfMaterial:
         default_factory=lambda: np.zeros(3, np.float32)
     )
     emissive_texture: int = -1
+    # transparency: 0=OPAQUE, 1=MASK (alpha_cutoff), 2=BLEND (stochastic).
+    # The reference's any-hit shader gates on WaveFrontMaterial illum==4 +
+    # dissolve (raytrace_rahit_todo.glsl:32-38); glTF expresses the same
+    # through alphaMode/alphaCutoff + baseColor alpha.
+    alpha_mode: int = 0
+    alpha_cutoff: float = 0.5
 
 
 @dataclasses.dataclass
@@ -254,6 +260,10 @@ def parse_gltf(path: str) -> GltfDocument:
                 normal_texture=_tex(m.get("normalTexture")),
                 emissive_factor=np.asarray(m.get("emissiveFactor", [0, 0, 0]), np.float32),
                 emissive_texture=_tex(m.get("emissiveTexture")),
+                alpha_mode={"OPAQUE": 0, "MASK": 1, "BLEND": 2}.get(
+                    m.get("alphaMode", "OPAQUE"), 0
+                ),
+                alpha_cutoff=float(m.get("alphaCutoff", 0.5)),
             )
         )
     if not materials:

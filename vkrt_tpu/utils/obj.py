@@ -50,6 +50,14 @@ def _parse_mtl(path: str) -> Dict[str, gltf_mod.GltfMaterial]:
             mats[cur].roughness_factor = float(
                 np.clip((2.0 / (ns + 2.0)) ** 0.25, 0.0, 1.0)
             )
+        elif key == "d":
+            mats[cur].base_color_factor[3] = float(parts[1])
+        elif key == "illum":
+            # illum 4 = transparent material — the reference's any-hit gate
+            # (raytrace_rahit_todo.glsl:32): stochastic punch-through with
+            # probability 1 - dissolve
+            if int(float(parts[1])) == 4:
+                mats[cur].alpha_mode = 2
     return mats
 
 
