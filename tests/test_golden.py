@@ -7,6 +7,16 @@ camera, or scene pipeline. Regenerate with
 import json
 import os
 
+# Goldens are CPU anchors. Under pytest, conftest forces CPU; when run
+# directly (``python -m tests.test_golden regen``) we must force it HERE,
+# before any vkrt_tpu import, or the regen silently records TPU numerics
+# that the (CPU) test can never reproduce. NOTE the env vars
+# JAX_PLATFORM_NAME / JAX_PLATFORMS are IGNORED by the axon TPU plugin —
+# only the config flag works.
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np
 
 from vkrt_tpu.config import RenderSettings

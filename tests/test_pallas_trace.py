@@ -90,6 +90,33 @@ def test_pallas_random_soup(rng):
     )
 
 
+def test_pallas_multilevel_scan(rng):
+    """A scene big enough for a 3-deep level stack (>256 clusters) exercises
+    the super-word scan AND the top-level early-out block cull — the paths a
+    small fixture (L=1) never reaches."""
+    soup = make_random_soup(17000, seed=11)
+    cs = build_cluster_scene(soup.tri_v0, soup.tri_e1, soup.tri_e2)
+    assert len(cs.level_counts) >= 3, cs.level_counts
+    pt = make_pallas_tracer(soup, interpret=True)
+    bf = make_tracer(soup, "bruteforce")
+    o, d = _rays(256, rng, spread=1.5)
+    ref = bf.closest(o, d, 1e-3, 1e4)
+    got = pt.closest(o, d, 1e-3, 1e4)
+    np.testing.assert_array_equal(np.asarray(got.hit), np.asarray(ref.hit))
+    h = np.asarray(ref.hit)
+    np.testing.assert_allclose(
+        np.asarray(got.t)[h], np.asarray(ref.t)[h], rtol=1e-4, atol=1e-5
+    )
+    # parked rays (the fused-batch dead-lane convention) must all miss and
+    # take the early-out path
+    o_dead = jnp.full((256, 3), 1e30, jnp.float32)
+    d_dead = jnp.zeros((256, 3), jnp.float32)
+    assert not np.asarray(
+        pt.closest(o_dead, d_dead, 1e-3, 1e4,
+                   t_lim=jnp.full((256,), -1.0, jnp.float32)).hit
+    ).any()
+
+
 def test_sorting_tracer_identical_results(box, rng):
     bf = make_tracer(box, "bruteforce")
     st = make_sorting_tracer(bf, box)

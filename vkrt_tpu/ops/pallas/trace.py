@@ -1,4 +1,4 @@
-"""Fused Pallas trace kernel: octant-ordered vote-tree ray-triangle tracing.
+"""Fused Pallas trace kernel: bit-voted two-level cluster tracing.
 
 The TPU-native replacement for hardware BVH traversal where it matters — the
 hot ``traceRayEXT`` loop. Design (see SURVEY.md §7 hard-parts; refined in
@@ -6,32 +6,32 @@ round 2 after per-stage ablation):
 
 * Triangles are SAH-ordered and packed into **clusters of 64** (contiguous
   SAH-subtree ranges, so clusters are spatially tight). Clusters group by 16
-  into a **16-ary AABB tree** (cluster -> super -> super² ...) whose node
-  boxes live as plain VMEM tables; triangle SoA components sit in VMEM as
-  row-major packed (T_pad/128, 128) blocks.
+  under **super AABBs** whose boxes live as plain VMEM tables; triangle SoA
+  components sit in VMEM as row-major packed (T_pad/128, 128) blocks.
 * One kernel program processes a **block of 1024 rays** (an (8, 128) tile
   per ray component; the engine feeds 32x32 pixel tiles so a block is a
-  compact frustum). At each tree node the block takes slab-test **votes**
-  over the node's 16 children: per-lane hit bits OR-fold into ONE scalar
-  bitmask (per-box ``jnp.any`` syncs cost ~400 cycles and would dominate),
-  then only set bits are visited (popcount/ctz iteration, no branches).
-* **Near-to-far visiting**: children are voted in per-octant front-to-back
-  order (host-precomputed 4-bit permutations, 2 scalar loads per node; the
-  block's dominant direction octant picks the table row). Early hits shrink
-  the per-lane ``t`` limit, so far children fail their votes and the
-  measured cluster-visit count — the actual cost driver, ~2us per visited
-  cluster per block — collapses.
+  compact frustum). The block takes slab-test **votes** over 16 boxes at a
+  time: per-lane hit bits OR-fold into ONE scalar bitmask (per-box
+  ``jnp.any`` syncs cost ~400 cycles and would dominate), then only set
+  bits are visited (popcount/ctz iteration, no branches).
+* Traversal is deliberately SHALLOW: a static unrolled scan over super
+  words, one dynamic loop over voted supers, one over voted clusters.
+  Round 2 measured the "obvious" improvement — a full 16-ary tree with
+  per-octant near-to-far child ordering — at 31x SLOWER (0.16 vs 5.1
+  Mrays/s, benchmarks/scratch/variants.py) despite visiting fewer boxes:
+  Mosaic compiles nested dynamic fori loops with scalar-dependent VMEM
+  reads into code whose per-iteration overhead dwarfs the saved slab
+  tests (and compile time explodes to tens of minutes). Static unrolls +
+  shallow dynamic nesting is the shape this hardware rewards.
 * Surviving clusters run an all-vector Möller-Trumbore: triangle components
   broadcast as (8, 1) group columns against (1, 128) ray rows — 1024
-  ray-triangle pairs per VPU op, no per-lane gathers. Hit state
-  (t/index/u/v) is carried through the visit loops as vector registers, not
-  ``out_ref`` round-trips.
+  ray-triangle pairs per VPU op, no per-lane gathers.
 * **Closest-hit and any-hit are one kernel**: every lane carries its own
   ``t`` limit (shadow rays pass ``lightDist``; primary rays pass tMax), a
   hit is "index >= 0 at return", and a shadow lane's first hit tightens its
-  limit to the hit distance so the near-ordered traversal stops feeding it.
-  This halves the per-bounce program count vs separate closest/any kernels
-  and lets callers batch shadow + bounce rays into one launch.
+  limit to the hit distance so later votes stop feeding it. This halves the
+  per-bounce program count vs separate closest/any kernels and lets callers
+  batch shadow + bounce rays into one launch.
 
 Rays per component are laid out (n_blocks*8, 128) so the grid BlockSpec
 slices one (8, 128) tile per program — fully pipelined by Mosaic.
@@ -69,6 +69,8 @@ class ClusterScene(NamedTuple):
                              # lo/hi words, row = parent*8 + octant
     cluster_aabb: jnp.ndarray  # alias of level_aabb[-1] (bottom level)
     tri_remap: jnp.ndarray   # (T_pad,) i32: packed slot -> original tri id
+                             # (-1 for padding slots; pads have degenerate
+                             # all-zero triangles that can never win a hit)
     n_clusters: int
     level_counts: tuple      # top..bottom true node counts (static jit key)
 
@@ -123,7 +125,8 @@ def _build_levels(cluster_aabb6: np.ndarray):
         packed[:, :6] = a
         level_aabb.append(jnp.asarray(packed))
 
-        centers = 0.5 * (a[:, :3] + a[:, 3:6]).reshape(n_parent, FANOUT, 3)
+        with np.errstate(invalid="ignore"):  # inverted pad boxes -> NaN center
+            centers = 0.5 * (a[:, :3] + a[:, 3:6]).reshape(n_parent, FANOUT, 3)
         invalid = (a[:, 0] > a[:, 3]).reshape(n_parent, FANOUT)
         order = np.zeros((n_parent * 8, 16), np.int32)
         for o in range(8):
@@ -187,7 +190,7 @@ def _pack_cluster_scene(tri_v0, tri_e1, tri_e2, tri_order, cluster_aabb,
         level_aabb=level_aabb,
         level_order=level_order,
         cluster_aabb=level_aabb[-1],
-        tri_remap=jnp.asarray(np.where(valid, tri_order, 0).astype(np.int32)),
+        tri_remap=jnp.asarray(np.asarray(tri_order, np.int32)),
         n_clusters=int(n_clusters),
         level_counts=counts,
     )
@@ -239,6 +242,77 @@ def _build_cluster_scene_morton(tri_v0, tri_e1, tri_e2) -> ClusterScene:
     cluster_aabb = np.concatenate([cmin, cmax], 1)
     return _pack_cluster_scene(tri_v0, tri_e1, tri_e2, tri_order,
                                cluster_aabb, n_clusters_pad)
+
+
+def refit_cluster_scene(cs: ClusterScene, tri_v0, tri_e1, tri_e2,
+                        moved: np.ndarray) -> ClusterScene:
+    """Refit the cluster scene after a subset of triangles moved.
+
+    The TPU analog of a TLAS-only update (the reference re-records the top
+    level per pose while BLASes persist, hello_vulkan.cpp:1031-1047): the SAH
+    *clustering* (tri_order) is kept, only the moved slots' packed columns +
+    their clusters' AABBs are recomputed, and the (tiny) upper vote-tree
+    levels are rebuilt. Cost scales with the moved subset + O(n_clusters),
+    not with a full SAH rebuild.
+
+    ``moved``: (T,) bool over ORIGINAL triangle ids, True where geometry
+    changed. Returns a new ClusterScene sharing untouched arrays.
+    """
+    v0 = np.asarray(tri_v0, np.float32)
+    e1 = np.asarray(tri_e1, np.float32)
+    e2 = np.asarray(tri_e2, np.float32)
+    moved = np.asarray(moved, bool)
+    order = np.asarray(cs.tri_remap)          # (T_pad,) packed slot -> orig
+    valid = order >= 0
+    safe = np.where(valid, order, 0)
+    slot_moved = valid & moved[safe]          # (T_pad,)
+    dirty = slot_moved.reshape(-1, CLUSTER).any(axis=1)  # (n_cluster_pad,)
+    if not dirty.any():
+        return cs
+
+    # update packed triangle columns for dirty clusters only (row granularity:
+    # a (…,128) row covers 2 clusters; update rows overlapping dirty clusters)
+    rows_dirty = dirty.reshape(-1, 2).any(axis=1)        # (rows,)
+    new_cols = []
+    comps = [(v0, 0), (v0, 1), (v0, 2), (e1, 0), (e1, 1), (e1, 2),
+             (e2, 0), (e2, 1), (e2, 2)]
+    r_idx = np.nonzero(rows_dirty)[0]
+    for (a, j), colarr in zip(comps, cs.tri_cols):
+        fresh = np.where(valid, a[safe, j], 0.0).astype(np.float32)
+        fresh = fresh.reshape(-1, 128)
+        colarr = jnp.asarray(colarr).at[r_idx].set(jnp.asarray(fresh[r_idx]))
+        new_cols.append(colarr)
+
+    # recompute dirty clusters' AABBs (vectorized over all slots, cheap)
+    vld = valid.reshape(-1, CLUSTER)
+    c_v0 = v0[safe].reshape(-1, CLUSTER, 3)
+    c_e1 = e1[safe].reshape(-1, CLUSTER, 3)
+    c_e2 = e2[safe].reshape(-1, CLUSTER, 3)
+    p1 = c_v0 + c_e1
+    p2 = c_v0 + c_e2
+    lo = np.minimum(np.minimum(c_v0, p1), p2)
+    hi = np.maximum(np.maximum(c_v0, p1), p2)
+    lo = np.where(vld[..., None], lo, np.inf).min(axis=1)
+    hi = np.where(vld[..., None], hi, -np.inf).max(axis=1)
+    # rebuild levels from the TRUE cluster count (cs.cluster_aabb is the
+    # padded bottom level; feeding the padded length would shift level_counts
+    # — a static jit key — and force a recompile)
+    n_c = order.size // CLUSTER
+    assert n_c == cs.level_counts[-1], (n_c, cs.level_counts)
+    old = np.asarray(cs.cluster_aabb)[:n_c, :6]
+    caabb = old.copy()
+    caabb[dirty[:n_c], :3] = lo[: n_c][dirty[:n_c]]
+    caabb[dirty[:n_c], 3:] = hi[: n_c][dirty[:n_c]]
+
+    level_aabb, level_order, counts = _build_levels(caabb)
+    assert counts == cs.level_counts
+    return cs._replace(
+        tri_cols=tuple(new_cols),
+        level_aabb=level_aabb,
+        level_order=level_order,
+        cluster_aabb=level_aabb[-1],
+        level_counts=counts,
+    )
 
 
 def _slab_vote(aabb_ref, idx, ox, oy, oz, ix, iy, iz, t_min, t_lim):
@@ -383,8 +457,8 @@ def _for_each_set_bit(word, body):
     jax.lax.fori_loop(0, _popcount32(word_u), step, word_u)
 
 
-def _trace_kernel(n_levels: int, t_min: float, *refs):
-    """Unified closest/any trace over the octant-ordered vote tree.
+def _trace_kernel(n_levels: int, t_min: float, true_super: int, *refs):
+    """Unified closest/any trace: static super-word scan + voted visits.
 
     Rays arrive as ONE packed (8, 7*128) block [o.xyz | d.xyz | t_lim] and
     results leave as ONE packed (8, 4*128) block [t | idx-bits | u | v]: a
@@ -392,12 +466,24 @@ def _trace_kernel(n_levels: int, t_min: float, *refs):
     per-program floor). A lane's ``t_lim`` is both its tMax and, once a hit
     lands, its tightening search bound — "any-hit" lanes simply pass their
     shadow distance and test ``idx >= 0`` afterwards.
+
+    Traversal is a TWO-deep structure over the bottom levels of the vote
+    tree: a *static* unrolled scan over super words (16 slab votes -> one
+    scalar bitmask each), then per set super a vote over its 16 clusters,
+    then the voted clusters' triangles. Round 2 measured the deeper
+    recursive tree (dynamic fori at every level, octant-ordered child
+    permutations) at ~65x SLOWER end-to-end despite visiting fewer boxes:
+    Mosaic compiles nested dynamic loops with scalar-dependent VMEM reads
+    into code whose per-iteration overhead dwarfs the saved slab tests, and
+    compile time explodes (minutes -> tens of minutes). Static unrolls +
+    one dynamic nesting level is the shape this hardware rewards
+    (benchmarks/scratch/variants.py: flat 5.1 Mrays/s vs tree 0.08 on
+    tile-ordered Cornell primaries).
     """
     L = n_levels
     aabb_refs = refs[0:L]
-    order_refs = refs[L : 2 * L]
-    tri_refs = refs[2 * L : 2 * L + 9]
-    rays_ref, out_ref = refs[2 * L + 9], refs[2 * L + 10]
+    tri_refs = refs[L : L + 9]
+    rays_ref, out_ref = refs[L + 9], refs[L + 10]
 
     rays = rays_ref[:]
     ox = rays[:, 0 * LANES : 1 * LANES]
@@ -415,15 +501,6 @@ def _trace_kernel(n_levels: int, t_min: float, *refs):
         )
 
     ix, iy, iz = safe_inv(dx), safe_inv(dy), safe_inv(dz)
-
-    # block-dominant direction octant (x=bit2, y=bit1, z=bit0): picks the
-    # near-to-far child order at every tree node. 3 vector->scalar syncs,
-    # once per program. Dead/pad lanes have d=0 and don't skew the vote.
-    oct = (
-        (jnp.sum(dx) >= 0.0).astype(jnp.int32) * 4
-        + (jnp.sum(dy) >= 0.0).astype(jnp.int32) * 2
-        + (jnp.sum(dz) >= 0.0).astype(jnp.int32)
-    )
 
     sub_iota = jax.lax.broadcasted_iota(jnp.int32, (GROUP, LANES), 0)
 
@@ -483,38 +560,62 @@ def _trace_kernel(n_levels: int, t_min: float, *refs):
     def t_best():
         return out_ref[:, 0:LANES]
 
-    def visit(level, parent):
-        """Vote the 16 children of ``parent`` (near-first bit order) and
-        visit the set bits; static recursion over tree levels."""
-        aabb_ref = aabb_refs[level]
-        order_ref = order_refs[level]
-        row = parent * 8 + oct
-        # int32 -> uint32 by two's-complement wrap = a bit-exact view
-        lo_w = order_ref[row, 0].astype(jnp.uint32)
-        hi_w = order_ref[row, 1].astype(jnp.uint32)
+    def vote_children(aabb_ref, parent):
+        """Vote the 16 children of ``parent`` -> one scalar bitmask."""
         t_lim = t_best()
         m = jnp.zeros((BLOCK_ROWS, LANES), jnp.uint32)
         for b in range(FANOUT):  # static unroll
-            w = lo_w if b < 8 else hi_w
-            slot = ((w >> jnp.uint32(4 * (b % 8))) & jnp.uint32(15)).astype(jnp.int32)
-            child = parent * FANOUT + slot
-            hit = _slab_vote(aabb_ref, child, ox, oy, oz, ix, iy, iz, t_min, t_lim)
+            hit = _slab_vote(aabb_ref, parent * FANOUT + b,
+                             ox, oy, oz, ix, iy, iz, t_min, t_lim)
             m = m | jnp.where(hit, jnp.uint32(1 << b), jnp.uint32(0))
-        word = _or_reduce_scalar(m)
+        return _or_reduce_scalar(m)
 
-        def body(bit):
-            w = jnp.where(bit < 8, lo_w, hi_w)
-            sh = (4 * (bit & 7)).astype(jnp.uint32)
-            slot = ((w >> sh) & jnp.uint32(15)).astype(jnp.int32)
-            child = parent * FANOUT + slot
-            if level == L - 1:
-                cluster_work(child)
-            else:
-                visit(level + 1, child)
+    if L == 1:
+        # tiny scene: every cluster fits one top level — scan its words
+        n_words = -(-true_super // FANOUT)
+        for w in range(n_words):
+            t_lim = t_best()
+            m = jnp.zeros((BLOCK_ROWS, LANES), jnp.uint32)
+            for b in range(FANOUT):
+                hit = _slab_vote(aabb_refs[0], w * FANOUT + b,
+                                 ox, oy, oz, ix, iy, iz, t_min, t_lim)
+                m = m | jnp.where(hit, jnp.uint32(1 << b), jnp.uint32(0))
+            word = _or_reduce_scalar(m)
+            _for_each_set_bit(word, lambda k, w=w: cluster_work(w * FANOUT + k))
+    else:
+        # block-level early-out: one 16-box vote over the TOP level covers
+        # the whole scene — a block of dead/parked rays (fused batches park
+        # finished lanes at 1e30) skips the entire super scan for the cost
+        # of 16 slab tests + one sync
+        top_word = vote_children(aabb_refs[0], jnp.int32(0)) if L > 2 else None
 
-        _for_each_set_bit(word, body)
+        def scan_supers():
+            # static scan over super words; per voted super, vote clusters
+            aabb_sup = aabb_refs[L - 2]
+            aabb_clu = aabb_refs[L - 1]
+            n_words = -(-true_super // FANOUT)
+            for w in range(n_words):
+                t_lim = t_best()
+                m = jnp.zeros((BLOCK_ROWS, LANES), jnp.uint32)
+                for b in range(FANOUT):
+                    hit = _slab_vote(aabb_sup, w * FANOUT + b,
+                                     ox, oy, oz, ix, iy, iz, t_min, t_lim)
+                    m = m | jnp.where(hit, jnp.uint32(1 << b), jnp.uint32(0))
+                word = _or_reduce_scalar(m)
 
-    visit(0, jnp.int32(0))
+                def super_body(sb, w=w):
+                    sparent = w * FANOUT + sb
+                    cword = vote_children(aabb_clu, sparent)
+                    _for_each_set_bit(
+                        cword, lambda k, sp=sparent: cluster_work(sp * FANOUT + k)
+                    )
+
+                _for_each_set_bit(word, super_body)
+
+        if top_word is None:
+            scan_supers()
+        else:
+            pl.when(top_word != 0)(scan_supers)
 
 
 # Rows of 128 rays per lax.map chunk. Chunking bounds the scoped-VMEM
@@ -562,9 +663,10 @@ def _chunk_rows(packed, rows):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n_levels", "t_min", "interpret")
+    jax.jit, static_argnames=("n_levels", "t_min", "true_super", "interpret")
 )
-def _trace_call(cs: ClusterScene, orig, direction, t_lim, n_levels, t_min, interpret):
+def _trace_call(cs: ClusterScene, orig, direction, t_lim, n_levels, t_min,
+                true_super, interpret):
     packed, n, rows = _pack_rays(orig, direction, t_lim)
     chunks, chunk_rows = _chunk_rows(packed, rows)
     ray_spec = pl.BlockSpec(
@@ -573,23 +675,23 @@ def _trace_call(cs: ClusterScene, orig, direction, t_lim, n_levels, t_min, inter
     out_spec = pl.BlockSpec(
         (PROG_ROWS, 4 * LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
-    kernel = functools.partial(_trace_kernel, n_levels, t_min)
+    kernel = functools.partial(_trace_kernel, n_levels, t_min, true_super)
 
     def chunk_body(chunk):
         out = pl.pallas_call(
             kernel,
             grid=(chunk_rows // PROG_ROWS,),
             in_specs=[
-                # AABB/order tables live in VMEM: SMEM overflows past ~2k
-                # nodes and Mosaic supports scalar loads from VMEM refs
-                *[pl.BlockSpec(memory_space=pltpu.VMEM)] * (2 * n_levels),
+                # AABB tables live in VMEM: SMEM overflows past ~2k nodes
+                # and Mosaic supports scalar loads from VMEM refs
+                *[pl.BlockSpec(memory_space=pltpu.VMEM)] * n_levels,
                 *[pl.BlockSpec(memory_space=pltpu.VMEM)] * 9,
                 ray_spec,
             ],
             out_specs=out_spec,
             out_shape=jax.ShapeDtypeStruct((chunk_rows, 4 * LANES), jnp.float32),
             interpret=interpret,
-        )(*cs.level_aabb, *cs.level_order, *cs.tri_cols, chunk)
+        )(*cs.level_aabb, *cs.tri_cols, chunk)
         # barrier: stop XLA from fusing/holding the frame-sized outputs in
         # scoped VMEM (repeated compile-time VMEM OOMs without it)
         return jax.lax.optimization_barrier(out)
@@ -607,15 +709,17 @@ def _trace_call(cs: ClusterScene, orig, direction, t_lim, n_levels, t_min, inter
 
 
 class PallasTracer(NamedTuple):
-    """Trace backend running the fused vote-tree kernel."""
+    """Trace backend running the fused cluster-vote kernel."""
 
     cs: ClusterScene
     interpret: bool
 
     def _call(self, orig, direction, t_min, t_lim):
+        counts = self.cs.level_counts
+        true_super = counts[-2] if len(counts) > 1 else counts[-1]
         return _trace_call(
             self.cs, orig, direction, t_lim,
-            len(self.cs.level_counts), float(t_min), self.interpret,
+            len(counts), float(t_min), true_super, self.interpret,
         )
 
     def closest(self, orig, direction, t_min, t_max, t_lim=None):

@@ -226,7 +226,7 @@ class Tracer(NamedTuple):
         )
 
 
-def make_tracer(scene, backend: str = "auto"):
+def make_tracer(scene, backend: str = "auto", alpha: bool = False):
     """Pick a trace backend.
 
     ``auto``: the fused Pallas cluster kernels on TPU (the production path);
@@ -236,10 +236,23 @@ def make_tracer(scene, backend: str = "auto"):
     """
     import jax
 
+    from vkrt_tpu.ops.alpha import make_alpha_tracer
+
+    def wrap(inner):
+        # alpha punch-through wraps ANY backend (opt-in: the reference ships
+        # its any-hit shaders unwired, so default-off is reference parity;
+        # no-op for scenes without transparent materials either way)
+        return make_alpha_tracer(scene, inner) if alpha else inner
+
     if backend == "pallas" or (backend == "auto" and jax.default_backend() == "tpu"):
         from vkrt_tpu.ops.pallas.trace import make_pallas_tracer
+        from vkrt_tpu.ops.sort_rays import make_sorting_tracer
 
-        return make_pallas_tracer(scene)
+        # (origin Morton, direction octant) sort on EVERY trace: ~1% cost on
+        # already-coherent primaries, 2.5x on incoherent bounce/shadow pools
+        # (dead lanes sort to the tail, where the kernel's top-level vote
+        # skips whole blocks). Measured: benchmarks/scratch/sortbench.py.
+        return wrap(make_sorting_tracer(make_pallas_tracer(scene), scene))
     bvh = None
     if backend == "bvh" or (
         backend == "auto" and scene.tri_v0.shape[0] > BRUTEFORCE_MAX_TRIS
@@ -247,4 +260,4 @@ def make_tracer(scene, backend: str = "auto"):
         from vkrt_tpu.bvh.lbvh import build_lbvh
 
         bvh = build_lbvh(scene.tri_v0, scene.tri_e1, scene.tri_e2)
-    return Tracer(scene.tri_v0, scene.tri_e1, scene.tri_e2, bvh)
+    return wrap(Tracer(scene.tri_v0, scene.tri_e1, scene.tri_e2, bvh))
