@@ -48,17 +48,26 @@ def main():
 
     tracer = make_tracer(scene, "auto")
     cam = Camera().matrices(width, height)
-    step = jax.jit(
-        partial(
-            pathtrace_frame,
-            scene,
-            tracer,
-            width=width,
-            height=height,
-            samples=1,
-            depth=3,
+
+    # the PRODUCTION ray layout (engine.py): 32x32 pixel tiles per kernel
+    # block, per-pixel seeds by original pixel id — what Engine.render_frame
+    # runs; scanline order would hand every block a 1024x1 stripe beam
+    from vkrt_tpu.ops.rng import tea
+    from vkrt_tpu.utils.camera import pixel_coords, tile_perm
+
+    perm, _ = tile_perm(width, height)
+    perm = jnp.asarray(perm)
+    pix = jnp.take(pixel_coords(width, height), perm, axis=0)
+    pid = jnp.asarray(perm).astype(jnp.uint32)
+
+    def frame(cam, f, accum, clear):
+        return pathtrace_frame(
+            scene, tracer, cam, f, accum, clear,
+            width=width, height=height, samples=1, depth=3,
+            pix=pix, seeds=tea(pid, jnp.uint32(f)),
         )
-    )
+
+    step = jax.jit(frame)
     accum = jnp.zeros((width * height, 3), jnp.float32)
     clear = jnp.asarray([1.0, 1.0, 1.0, 1.0], jnp.float32)
 

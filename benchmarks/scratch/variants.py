@@ -116,9 +116,42 @@ def make_kernel(variant, n_levels, t_min, true_super=0):
                     visit(level + 1, child)
             T._for_each_set_bit(word, body)
 
-        if variant == "flat":
-            # round-1 structure: static words over the supers (parents of
-            # clusters), fori depth 2; scan only the REAL supers
+        if variant == "flatcount":
+            # diagnostic: the production flat traversal, but every cluster
+            # visit just bumps a counter in out row 0 — reads back the TRUE
+            # number of dynamic cluster visits per block on hardware
+            out_ref[:] = jnp.zeros((BLOCK_ROWS, 4 * LANES), jnp.float32)
+            aabb_sup = aabb_refs[L - 2]
+            n_sup = -(-true_super // FANOUT) * FANOUT
+            for w in range(n_sup // FANOUT):
+                m = jnp.zeros((BLOCK_ROWS, LANES), jnp.uint32)
+                for b in range(FANOUT):
+                    hit = T._slab_vote(aabb_sup, w * FANOUT + b, ox, oy, oz,
+                                       ix, iy, iz, t_min, jnp.float32(3e38))
+                    m = m | jnp.where(hit, jnp.uint32(1 << b), jnp.uint32(0))
+                word = T._or_reduce_scalar(m)
+
+                def sbody(sb, w=w):
+                    sparent = w * FANOUT + sb
+                    mc = jnp.zeros((BLOCK_ROWS, LANES), jnp.uint32)
+                    for cb in range(FANOUT):
+                        h = T._slab_vote(aabb_refs[L - 1], sparent * FANOUT + cb,
+                                         ox, oy, oz, ix, iy, iz, t_min,
+                                         jnp.float32(3e38))
+                        mc = mc | jnp.where(h, jnp.uint32(1 << cb), jnp.uint32(0))
+                    cword = T._or_reduce_scalar(mc)
+
+                    def cvisit(_k):
+                        out_ref[0:1, 0:LANES] = out_ref[0:1, 0:LANES] + 1.0
+
+                    T._for_each_set_bit(cword, cvisit)
+                T._for_each_set_bit(word, sbody)
+            return
+        if variant in ("flat", "scan_only", "votes_only"):
+            # production structure: static words over the supers (parents of
+            # clusters), fori depth 2; scan only the REAL supers.
+            # scan_only: skip everything below the super votes.
+            # votes_only: run cluster votes but never the triangle work.
             aabb_sup = aabb_refs[L - 2]
             n_sup = -(-true_super // FANOUT) * FANOUT
             for w in range(n_sup // FANOUT):
@@ -128,12 +161,45 @@ def make_kernel(variant, n_levels, t_min, true_super=0):
                     hit = T._slab_vote(aabb_sup, w * FANOUT + b, ox, oy, oz, ix, iy, iz, t_min, t_lim)
                     m = m | jnp.where(hit, jnp.uint32(1 << b), jnp.uint32(0))
                 word = T._or_reduce_scalar(m)
+                if variant == "scan_only":
+                    # keep the word observable so nothing is folded away
+                    out_ref[0:1, 0:LANES] = (
+                        out_ref[0:1, 0:LANES] + word.astype(jnp.float32) * 1e-30
+                    )
+                    continue
 
                 def sbody(sb, w=w):
                     sparent = w * FANOUT + sb
                     cword = vote_children(aabb_refs[L - 1], sparent, None, None)
-                    T._for_each_set_bit(cword, lambda k, sp=sparent: cluster_work(sp * FANOUT + k))
+                    if variant == "votes_only":
+                        out_ref[0:1, 0:LANES] = (
+                            out_ref[0:1, 0:LANES] + cword.astype(jnp.float32) * 1e-30
+                        )
+                    else:
+                        T._for_each_set_bit(cword, lambda k, sp=sparent: cluster_work(sp * FANOUT + k))
                 T._for_each_set_bit(word, sbody)
+        elif variant.startswith("mt"):
+            # no votes at all: statically run cluster_work on the first K
+            # clusters per block — pure triangle-pipeline throughput
+            for c in range(int(variant[2:])):
+                cluster_work(c)
+        elif variant.startswith("dyn"):
+            # SAME K clusters but visited through a dynamic fori_loop —
+            # isolates Mosaic's per-iteration cost for a loop body full of
+            # vector work + out_ref row read/writes
+            k = int(variant[3:])
+
+            def dbody(c, carry):
+                cluster_work(c)
+                return carry
+
+            jax.lax.fori_loop(0, k, dbody, 0)
+        elif variant.startswith("bit"):
+            # SAME K clusters through the production set-bit iterator
+            # (ctz/popcount machinery + dynamic body)
+            k = int(variant[3:])
+            word = jnp.uint32((1 << k) - 1)
+            T._for_each_set_bit(word, cluster_work)
         else:
             visit(0, jnp.int32(0))
     return kernel
@@ -197,5 +263,11 @@ if __name__ == "__main__":
     d_t = jnp.take(d_p, jnp.asarray(perm), axis=0)[:n]
     for variant in variants:
         call = make_call(cs, variant)
+        if variant == "flatcount":
+            tvals = np.asarray(call(o_t, d_t))
+            counts = tvals[::1024]
+            print(f"  flatcount visits/block: mean {counts.mean():.1f} "
+                  f"max {counts.max():.0f} p95 {np.percentile(counts, 95):.0f}")
+            continue
         dt = slope_time(call, o_t, d_t)
         print(f"  {variant:8s} primary-tiled: {dt*1e3:8.2f} ms  {n/dt/1e6:6.2f} Mrays/s")

@@ -246,13 +246,12 @@ def make_tracer(scene, backend: str = "auto", alpha: bool = False):
 
     if backend == "pallas" or (backend == "auto" and jax.default_backend() == "tpu"):
         from vkrt_tpu.ops.pallas.trace import make_pallas_tracer
-        from vkrt_tpu.ops.sort_rays import make_sorting_tracer
 
-        # (origin Morton, direction octant) sort on EVERY trace: ~1% cost on
-        # already-coherent primaries, 2.5x on incoherent bounce/shadow pools
-        # (dead lanes sort to the tail, where the kernel's top-level vote
-        # skips whole blocks). Measured: benchmarks/scratch/sortbench.py.
-        return wrap(make_sorting_tracer(make_pallas_tracer(scene), scene))
+        # NOTE no ray sorting: with the pad-box vote fix the kernel's cost
+        # tracks the true cluster overlap, and the lax.sort round trip
+        # (~200 ms at 1M rays) costs far more than the coherence it buys
+        # (benchmarks/scratch/sortbench.py history in STATUS.md)
+        return wrap(make_pallas_tracer(scene))
     bvh = None
     if backend == "bvh" or (
         backend == "auto" and scene.tri_v0.shape[0] > BRUTEFORCE_MAX_TRIS
