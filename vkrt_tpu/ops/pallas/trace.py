@@ -48,7 +48,14 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-CLUSTER = 64          # triangles per cluster
+import os
+
+# Triangles per cluster — the culling granularity / MT-work-per-visit
+# tradeoff. 64 = half a packed 128-lane row; 32 = a quarter row (halves the
+# Möller-Trumbore work per voted cluster at ~2x the cluster count). Env
+# override for measurement sweeps (benchmarks/scratch).
+CLUSTER = int(os.environ.get("VKRT_CLUSTER", "64"))
+assert CLUSTER in (32, 64), CLUSTER
 GROUP = 8             # triangles per inner vector step (sublane dim)
 FANOUT = 16           # tree fanout = boxes per vote word
 BLOCK_ROWS = 8        # ray rows per program -> 8*128 = 1024 rays
@@ -325,9 +332,10 @@ def refit_cluster_scene(cs: ClusterScene, tri_v0, tri_e1, tri_e2,
     if not dirty.any():
         return cs
 
-    # update packed triangle columns for dirty clusters only (row granularity:
-    # a (…,128) row covers 2 clusters; update rows overlapping dirty clusters)
-    rows_dirty = dirty.reshape(-1, 2).any(axis=1)        # (rows,)
+    # update packed triangle columns for dirty clusters only (row
+    # granularity: a (…,128) row covers LANES//CLUSTER clusters; update rows
+    # overlapping dirty clusters)
+    rows_dirty = dirty.reshape(-1, LANES // CLUSTER).any(axis=1)  # (rows,)
     new_cols = []
     comps = [(v0, 0), (v0, 1), (v0, 2), (e1, 0), (e1, 1), (e1, 2),
              (e2, 0), (e2, 1), (e2, 2)]
@@ -405,21 +413,25 @@ def _slab_vote(aabb_ref, idx, ox, oy, oz, ix, iy, iz, t_min, t_lim):
 
 
 def _cluster_tiles(tri_refs, c):
-    """Extract cluster c's triangle components as 9 lists of 8 (8, 1) group
-    columns. A cluster's 64 slots occupy half of one packed (.., 128) row:
-    load the row, select the half by the cluster's parity (scalar pred),
-    then cut static (1, 8) group slices and pivot each to a sublane column —
-    the only shape cast Mosaic supports here ((1,64)->(8,8) reshapes and
-    dynamic lane slicing are rejected / crash the compile helper)."""
-    row = c // 2
-    hi_half = (c % 2) == 1
+    """Extract cluster c's triangle components as 9 lists of (8, 1) group
+    columns. A cluster's slots occupy a half (CLUSTER=64) or quarter
+    (CLUSTER=32) of one packed (.., 128) row: load the row, select the
+    piece by scalar predicates on the cluster index, then cut static (1, 8)
+    group slices and pivot each to a sublane column — the only shape cast
+    Mosaic supports here ((1,64)->(8,8) reshapes and dynamic lane slicing
+    are rejected / crash the compile helper)."""
+    per_row = LANES // CLUSTER
+    row = c // per_row
     tiles = []
     for r in tri_refs:
-        full = r[pl.ds(row, 1), :]                       # (1,128)
-        half = jnp.where(hi_half, full[:, 64:], full[:, :64])  # (1,64)
+        piece = r[pl.ds(row, 1), :]                     # (1,128)
+        piece = jnp.where((c % per_row) >= per_row // 2,
+                          piece[:, 64:], piece[:, :64])  # (1,64)
+        if CLUSTER == 32:
+            piece = jnp.where((c % 2) == 1, piece[:, 32:], piece[:, :32])
         tiles.append(
             [
-                half[:, g * GROUP : (g + 1) * GROUP].reshape(GROUP, 1)
+                piece[:, g * GROUP : (g + 1) * GROUP].reshape(GROUP, 1)
                 for g in range(CLUSTER // GROUP)
             ]
         )
