@@ -58,7 +58,12 @@ CLUSTER = int(os.environ.get("VKRT_CLUSTER", "64"))
 assert CLUSTER in (32, 64), CLUSTER
 GROUP = 8             # triangles per inner vector step (sublane dim)
 FANOUT = 16           # tree fanout = boxes per vote word
-BLOCK_ROWS = 8        # ray rows per program -> 8*128 = 1024 rays
+# ray rows per program -> BLOCK_ROWS*128 rays per block. Bigger blocks
+# amortize per-program overhead but widen each block's cluster-footprint
+# union; measured on the e2e bench: 8 -> 4.96 Mrays/s, 16 -> 4.53, 4 fails
+# Mosaic's sublane tiling. Env override for measurement sweeps.
+BLOCK_ROWS = int(os.environ.get("VKRT_BLOCK_ROWS", "8"))
+assert BLOCK_ROWS in (8, 16), BLOCK_ROWS
 PROG_ROWS = BLOCK_ROWS
 LANES = 128
 INF = 3e38  # python float: jnp scalars would be captured as kernel constants
@@ -483,9 +488,11 @@ def _or_reduce_scalar(mask):
     leave the OR of all 1024 lanes in every element, then a single scalar
     reduction extracts it.
     """
-    m = mask[0:4, :] | mask[4:8, :]
-    m = m[0:2, :] | m[2:4, :]
-    m = m[0:1, :] | m[1:2, :]
+    m = mask
+    r = m.shape[0]
+    while r > 1:
+        m = m[: r // 2, :] | m[r // 2 : r, :]
+        r //= 2
     for sh in (64, 32, 16, 8, 4, 2, 1):
         m = m | pltpu.roll(m, sh, 1)
     # every lane now holds the identical OR; Mosaic lacks unsigned reductions,
