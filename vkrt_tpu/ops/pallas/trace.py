@@ -717,7 +717,9 @@ def _trace_kernel(n_levels: int, t_min: float, true_super: int, *refs):
 # Rows of 128 rays per lax.map chunk. Chunking bounds the scoped-VMEM
 # footprint XLA assigns to the kernel's operands/outputs when the call sits
 # inside the frame loop (whole-frame buffers tripped compile-time VMEM OOM).
-CHUNK_ROWS = 1200  # must be a PROG_ROWS multiple; bounds scoped-VMEM at any resolution
+# Must be a PROG_ROWS multiple; env override for measurement sweeps.
+CHUNK_ROWS = int(os.environ.get("VKRT_CHUNK_ROWS", "1200"))
+assert CHUNK_ROWS % PROG_ROWS == 0, (CHUNK_ROWS, PROG_ROWS)
 
 
 def _pack_rays(orig, direction, t_lim):
