@@ -130,6 +130,32 @@ def test_sharded_hybrid_matches_single_device(box):
 
 
 @needs_8dev
+def test_app_mesh_cli(tmp_path):
+    """The --mesh CLI path end to end: argument plumbing + sharded render +
+    PNG output (VERDICT round-1 item 5: parallel/ reachable from app.py)."""
+    from vkrt_tpu.app import main
+
+    out = str(tmp_path / "mesh.png")
+    # spp must be divisible by the spp mesh axis: friendly error, not a trace
+    assert main([
+        "--procedural", "cornell", "--mode", "path", "--mesh", "4,2",
+        "--spp", "1", "--width", "64", "--height", "48", "--out", out,
+    ]) == 2
+    rc = main([
+        "--procedural", "cornell", "--mode", "path", "--mesh", "4,2",
+        "--spp", "2", "--width", "64", "--height", "48", "--frames", "2",
+        "--backend", "bruteforce", "--out", out,
+    ])
+    assert rc == 0
+    import numpy as np
+    from vkrt_tpu.utils.png import decode_png
+
+    img = decode_png(open(out, "rb").read())
+    assert img.shape[:2] == (48, 64)
+    assert img[..., :3].std() > 5.0  # an actual image, not a constant
+
+
+@needs_8dev
 def test_sharded_pathtrace_with_pallas_tracer(box):
     """The PRODUCTION tracer (Pallas kernels, interpret mode on CPU) under
     shard_map — catches shard_map x pallas_call interaction bugs the

@@ -230,6 +230,10 @@ def run_sharded(args, scene, settings, cam_obj, clear, width, height) -> int:
         print(f"--mesh {args.mesh} needs {n_tile*n_spp} devices, have "
               f"{jax.device_count()}", file=sys.stderr)
         return 2
+    if settings.rt_mode == 1 and settings.samples % n_spp != 0:
+        print(f"--spp {settings.samples} must be divisible by the spp mesh "
+              f"axis ({n_spp})", file=sys.stderr)
+        return 2
     mesh = make_render_mesh(n_tile=n_tile, n_spp=n_spp)
     tracer = make_tracer(scene, args.backend, alpha=args.alpha_test)
     cam = cam_obj.matrices(width, height)
