@@ -95,6 +95,40 @@ def test_fully_transparent_punches_to_back_quad():
     assert bool(np.all(np.asarray(hi.tri) < 2))  # back-quad triangles
 
 
+def test_two_stacked_transparent_layers():
+    """TWO fully-transparent BLEND quads (z=3, z=2) in front of an opaque
+    wall (z=0): every ray must punch both layers and land on the wall at
+    t=5. Regression for the round-2 double-advance bug, where the second
+    round's re-trace origin added the first advance twice and overshot past
+    the wall (all rays missed)."""
+    clear = gltf_mod.GltfMaterial(
+        np.array([1, 1, 1, 0.0], np.float32), metallic_factor=0.0, alpha_mode=2,
+    )
+    opaque = gltf_mod.GltfMaterial(
+        np.array([1, 1, 1, 1], np.float32), metallic_factor=0.0,
+    )
+    quads = [
+        # opaque wall at z=0
+        ((-2, -2, 0), (2, -2, 0), (2, 2, 0)),
+        ((-2, -2, 0), (2, 2, 0), (-2, 2, 0)),
+        # transparent layer at z=2
+        ((-2, -2, 2), (2, -2, 2), (2, 2, 2)),
+        ((-2, -2, 2), (2, 2, 2), (-2, 2, 2)),
+        # transparent layer at z=3
+        ((-2, -2, 3), (2, -2, 3), (2, 2, 3)),
+        ((-2, -2, 3), (2, 2, 3), (-2, 2, 3)),
+    ]
+    lights = [gltf_mod.GltfLight(np.array([0, 0, 4.0], np.float32),
+                                 np.ones(3, np.float32), 50.0, 0)]
+    scene = scene_from_soup(quads, [0, 0, 1, 1, 1, 1], [opaque, clear], lights)
+    tr = make_tracer(scene, "bruteforce", alpha=True)
+    orig, d = _rays()
+    hi = tr.closest(orig, d, 1e-3, 100.0)
+    assert bool(np.all(np.asarray(hi.hit)))
+    np.testing.assert_allclose(np.asarray(hi.t), 5.0, atol=1e-3)
+    assert bool(np.all(np.asarray(hi.tri) < 2))  # wall triangles
+
+
 def test_opaque_alpha_one_matches_unwrapped():
     """alpha=1 BLEND behaves exactly like an opaque trace (never punches)."""
     front = gltf_mod.GltfMaterial(

@@ -102,7 +102,7 @@ def test_empty_boxes_cannot_vote(rng):
         a = np.asarray(lvl)[:, :6]
         assert np.isfinite(a).all(), "inf in device AABB table"
         empty = a[:, 0] >= 1e29
-        assert (a[:, 0] <= a[:, 3] + 1e-6).all() | True
+        assert (a[:, 0] <= a[:, 3] + 1e-6).all(), "inverted box in table"
         # numpy slab test: random rays vs every empty row -> zero passes
         if empty.any():
             o = rng.normal(size=(64, 3)).astype(np.float32) * 3

@@ -33,6 +33,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from vkrt_tpu.ops import nrd
@@ -164,13 +165,20 @@ def reproject(
 
 
 def _neighborhood_clamp(hist_rad, cur_rad, width, height):
-    """Clamp history to the 3x3 box of the current frame (anti-ghosting)."""
+    """Clamp history to the 3x3 box of the current frame (anti-ghosting).
+
+    Edge-clamped shifts (pad-replicate + slice), NOT jnp.roll: wrap-around
+    taps would let border pixels clamp against pixels from the opposite edge
+    of the frame, corrupting the anti-ghosting box at image borders."""
     img = cur_rad.reshape(height, width, 3)
+    padded = jnp.pad(img, ((1, 1), (1, 1), (0, 0)), mode="edge")
     lo = img
     hi = img
     for dy in (-1, 0, 1):
         for dx in (-1, 0, 1):
-            q = jnp.roll(img, (-dy, -dx), axis=(0, 1))
+            q = jax.lax.dynamic_slice(
+                padded, (1 + dy, 1 + dx, 0), (height, width, 3)
+            )
             lo = jnp.minimum(lo, q)
             hi = jnp.maximum(hi, q)
     return jnp.clip(hist_rad, lo.reshape(-1, 3), hi.reshape(-1, 3))

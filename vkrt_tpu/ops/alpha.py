@@ -84,7 +84,6 @@ def alpha_closest(scene, tracer, orig, direction, t_min, t_max, t_lim, seed,
         return hi
 
     n = orig.shape[0]
-    offs = jnp.zeros((n,), orig.dtype)  # advanced distance along the ray
     # a lane is "unsettled" only while its newest hit still awaits its punch
     # decision: once a lane accepts a hit (or misses) it is settled for good —
     # re-drawing settled lanes each round would compound the punch probability
@@ -97,8 +96,13 @@ def alpha_closest(scene, tracer, orig, direction, t_min, t_max, t_lim, seed,
         u01 = (bits & jnp.uint32(0x00FFFFFF)).astype(jnp.float32) * (1.0 / 16777216.0)
         punch = unsettled & hi.hit & (u01 >= a)  # rahit: rnd > dissolve -> ignore
 
-        # advance punched lanes just past their hit; park everyone else
-        adv = offs + hi.t * (1.0 + 1e-4) + 1e-3
+        # advance punched lanes just past their hit; park everyone else.
+        # hi.t is ALWAYS measured from the original origin (the merge below
+        # shifts re-trace results back by +adv), so the advance is computed
+        # directly from it — adding the previous round's advance again would
+        # double-count and overshoot past real geometry on stacked
+        # transparent surfaces.
+        adv = hi.t * (1.0 + 1e-4) + 1e-3
         new_o = orig + direction * adv[:, None]
         to = jnp.where(punch[:, None], new_o, 1e30)
         td = jnp.where(punch[:, None], direction, 0.0)
@@ -114,7 +118,6 @@ def alpha_closest(scene, tracer, orig, direction, t_min, t_max, t_lim, seed,
             u=jnp.where(punch, hi2.u, hi.u),
             v=jnp.where(punch, hi2.v, hi.v),
         )
-        offs = jnp.where(punch, adv, offs)
         unsettled = punch  # only re-traced lanes have an undecided hit
     return hi
 

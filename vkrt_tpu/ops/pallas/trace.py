@@ -140,7 +140,13 @@ def _build_levels(cluster_aabb6: np.ndarray):
 
     level_aabb, level_order = [], []
     for lvl, a in enumerate(aabbs):
-        n_parent = 1 if lvl == 0 else len(aabbs[lvl - 1])
+        # Pad to the TRUE parent count's children, not the padded parent
+        # length: padding to len(padded_parent)*FANOUT compounds per level
+        # (a ragged tree's bottom table grows to 16^(L-1) rows regardless of
+        # the true cluster count, ~15x VMEM waste) and every row is DMA'd to
+        # VMEM per program. Invalid parents are point-encoded and never vote,
+        # so their child slots are never indexed.
+        n_parent = 1 if lvl == 0 else counts[lvl - 1]
         a = np.concatenate([a, _inverted_aabb(n_parent * FANOUT - len(a))]) \
             if len(a) < n_parent * FANOUT else a
         aabbs[lvl] = a
