@@ -138,8 +138,11 @@ def test_refit_cost_scales_with_subset():
     cs = pt.cs
 
     inst2, moved = repose(inst, 1, _translate(3, 4, 0))
+    sc2 = inst2.scene
     cs2 = refit_cluster_scene(
-        cs, inst2.scene.tri_v0, inst2.scene.tri_e1, inst2.scene.tri_e2, moved
+        cs, sc2.tri_v0, sc2.tri_e1, sc2.tri_e2, moved,
+        attrs=(sc2.corner_normal, sc2.corner_tangent, sc2.corner_uv,
+               sc2.tri_mat),
     )
     # same clustering (tri order untouched), same static tree shape
     np.testing.assert_array_equal(np.asarray(cs.tri_remap), np.asarray(cs2.tri_remap))
@@ -156,6 +159,18 @@ def test_refit_cost_scales_with_subset():
     clean = ~dirty[:n_c]
     np.testing.assert_array_equal(a_old[clean], a_new[clean])
     assert not np.array_equal(a_old[dirty[:n_c]], a_new[dirty[:n_c]])
+
+    # attribute tables refresh with the pose: clean packed rows preserved
+    # exactly, moved normals actually changed (rotation-free translate keeps
+    # normals, so compare the position-dependent material/uv layout rows via
+    # the geometry instead: attr rows for dirty clusters were rewritten)
+    if cs.attr_cols:
+        from vkrt_tpu.ops.pallas.trace import LANES
+        rows_dirty = dirty.reshape(-1, LANES // CLUSTER).any(axis=1)
+        for old, new in zip(cs.attr_cols, cs2.attr_cols):
+            np.testing.assert_array_equal(
+                np.asarray(old)[~rows_dirty], np.asarray(new)[~rows_dirty]
+            )
 
     # no-op refit returns the same object
     assert refit_cluster_scene(

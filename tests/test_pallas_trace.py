@@ -90,6 +90,53 @@ def test_pallas_random_soup(rng):
     )
 
 
+def test_in_kernel_attr_resolve_matches_gather(box, rng):
+    """closest_surface's in-kernel interpolated attributes must match the
+    XLA gather path (surface_at_hit) on every hit lane: same triangle's
+    corners, same barycentrics, delta-form interpolation differs only by
+    fp rounding."""
+    from vkrt_tpu.models.shading import surface_at_hit, surface_from_attrs
+
+    pt = make_pallas_tracer(box, interpret=True)
+    assert pt.resolves_attrs
+    o, d = _rays(1000, rng)
+    hi, at = pt.closest_surface(o, d, 1e-3, 1e4)
+    # the same kernel's plain path must agree exactly on the hit payload
+    hi_plain = pt.closest(o, d, 1e-3, 1e4)
+    np.testing.assert_array_equal(np.asarray(hi.hit), np.asarray(hi_plain.hit))
+    np.testing.assert_array_equal(np.asarray(hi.tri), np.asarray(hi_plain.tri))
+
+    surf_k = surface_from_attrs(box, at)
+    surf_g = surface_at_hit(box, jnp.maximum(hi.tri, 0), hi.u, hi.v, d)
+    h = np.asarray(hi.hit)
+    assert h.any()
+    for name in ("world_pos", "shading_normal", "geo_normal", "base_color",
+                 "tangent", "binormal", "uv"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(surf_k, name))[h],
+            np.asarray(getattr(surf_g, name))[h],
+            rtol=1e-4, atol=2e-5, err_msg=name,
+        )
+    np.testing.assert_array_equal(
+        np.asarray(surf_k.mat_id)[h], np.asarray(surf_g.mat_id)[h]
+    )
+    # miss lanes carry zeros (finite; downstream is epsilon-guarded)
+    if (~h).any():
+        assert np.isfinite(np.asarray(surf_k.world_pos)[~h]).all()
+        np.testing.assert_array_equal(np.asarray(at.pos)[~h], 0.0)
+
+
+def test_attr_budget_gate(monkeypatch):
+    """Over-budget scenes must fall back to gather shading (attr_cols=())."""
+    import vkrt_tpu.ops.pallas.trace as tr
+
+    soup = make_random_soup(300, seed=3)
+    monkeypatch.setattr(tr, "ATTR_VMEM_BUDGET", 1024)  # absurdly small
+    pt = tr.make_pallas_tracer(soup, interpret=True)
+    assert not pt.resolves_attrs
+    assert pt.cs.attr_cols == ()
+
+
 def test_empty_boxes_cannot_vote(rng):
     """Pin the round-2 pad-box invariant: device AABB tables must never
     contain inverted (+-inf) boxes — an inverted box passes the slab test

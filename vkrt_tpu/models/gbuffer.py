@@ -22,7 +22,7 @@ from typing import NamedTuple
 
 import jax.numpy as jnp
 
-from vkrt_tpu.models.shading import surface_at_hit
+from vkrt_tpu.models.shading import surface_at_hit, surface_from_attrs
 from vkrt_tpu.ops import brdf as brdf_ops
 from vkrt_tpu.ops.intersect import T_MAX, T_MIN
 from vkrt_tpu.ops.nrd import pack_normal_and_roughness
@@ -83,7 +83,11 @@ def gbuffer_pass(
     origin, direction = generate_rays(
         cam, width, height, jnp.full((n, 2), 0.5, dt), pix=pix
     )
-    hi = tracer.closest(origin, direction, T_MIN, T_MAX)
+    use_resolve = bool(getattr(tracer, "resolves_attrs", False))
+    if use_resolve:
+        hi, at = tracer.closest_surface(origin, direction, T_MIN, T_MAX)
+    else:
+        hi = tracer.closest(origin, direction, T_MIN, T_MAX)
     miss = ~hi.hit
     tri = jnp.maximum(hi.tri, 0)
 
@@ -97,7 +101,11 @@ def gbuffer_pass(
     footprint_texels = hi.t * pixel_angle * density * tex_w
     lod = jnp.log2(jnp.maximum(footprint_texels, 1e-9))
 
-    surf = surface_at_hit(scene, tri, hi.u, hi.v, direction, lod=lod)
+    surf = (
+        surface_from_attrs(scene, at, lod=lod)
+        if use_resolve
+        else surface_at_hit(scene, tri, hi.u, hi.v, direction, lod=lod)
+    )
 
     v = normalize(-direction)
     # frag shader uses raw factors; same clamps as ray path are NOT applied

@@ -28,7 +28,11 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from vkrt_tpu.models.shading import sample_bsdf, surface_at_hit
+from vkrt_tpu.models.shading import (
+    sample_bsdf,
+    surface_at_hit,
+    surface_from_attrs,
+)
 from vkrt_tpu.ops.intersect import T_MAX, T_MIN
 from vkrt_tpu.ops.rng import rnd, seed_pixels
 from vkrt_tpu.utils.camera import generate_rays
@@ -78,10 +82,21 @@ def bounce_chain(
     clear3 = jnp.asarray(clear_color, carry.origin.dtype)[:3]
     n = carry.origin.shape[0]
     dt = carry.origin.dtype
+    # In-kernel attribute resolve: when the tracer carries resident attr
+    # tables (PallasTracer on VMEM-budget scenes), every closest trace also
+    # returns interpolated shading attributes and the gather-bound
+    # surface_at_hit geometry pass disappears from the bounce loop.
+    use_resolve = bool(getattr(tracer, "resolves_attrs", False))
 
     def seeded(c: BounceCarry):
         # alpha-aware tracers draw punch-through RNG from the lane seeds
         return tracer.with_seed(c.seed) if hasattr(tracer, "with_seed") else tracer
+
+    def closest(tr, orig, direction, t_lim):
+        """(HitInfo, HitAttrs-or-None) from whichever API the tracer has."""
+        if use_resolve:
+            return tr.closest_surface(orig, direction, T_MIN, T_MAX, t_lim=t_lim)
+        return tr.closest(orig, direction, T_MIN, T_MAX, t_lim=t_lim), None
 
     def trace_start(c: BounceCarry):
         # dead lanes get a degenerate ray (dir=0, origin parked at infinity,
@@ -89,16 +104,21 @@ def bounce_chain(
         # reject them for free
         live_dir = jnp.where(c.active[:, None], c.direction, 0.0)
         live_origin = jnp.where(c.active[:, None], c.origin, 1e30)
-        return seeded(c).closest(live_origin, live_dir, T_MIN, T_MAX,
-                                 t_lim=jnp.where(c.active, T_MAX, -1.0))
+        return closest(seeded(c), live_origin, live_dir,
+                       jnp.where(c.active, T_MAX, -1.0))
 
-    def body(d, c: BounceCarry, hi, trace_next: bool):
+    def body(d, c: BounceCarry, hi, at, trace_next: bool):
         """Shade bounce d from its hit info, launch the fused
-        (next-main + shadow) trace, apply NEE. Returns (carry, next hit)."""
+        (next-main + shadow) trace, apply NEE. Returns (carry, next hit,
+        next attrs)."""
         miss = ~hi.hit & c.active | ~c.active
         tri = jnp.maximum(hi.tri, 0)
 
-        surf = surface_at_hit(scene, tri, hi.u, hi.v, c.direction)
+        surf = (
+            surface_from_attrs(scene, at)
+            if use_resolve
+            else surface_at_hit(scene, tri, hi.u, hi.v, c.direction)
+        )
         emit_gate = (d == 0) | c.is_specular  # rchit:83
         bs = sample_bsdf(scene, surf, c.direction, c.seed, emit_gate)
 
@@ -121,21 +141,20 @@ def bounce_chain(
             nx_o = jnp.where(active_next[:, None], surf.world_pos, 1e30)
             nx_d = jnp.where(active_next[:, None], bs.next_dir, 0.0)
             nx_lim = jnp.where(active_next, T_MAX, -1.0)
-            res = seeded(c).closest(
+            res, res_at = closest(
+                seeded(c),
                 jnp.concatenate([nx_o, surf.world_pos]),
                 jnp.concatenate([nx_d, sh_dir]),
-                T_MIN,
-                T_MAX,
-                t_lim=jnp.concatenate([nx_lim, sh_lim]),
+                jnp.concatenate([nx_lim, sh_lim]),
             )
-            hi_next = type(hi)(
-                hit=res.hit[:n], t=res.t[:n], tri=res.tri[:n],
-                u=res.u[:n], v=res.v[:n],
+            hi_next = jax.tree.map(lambda x: x[:n], res)
+            at_next = (
+                None if res_at is None else jax.tree.map(lambda x: x[:n], res_at)
             )
             shadow_hit = res.hit[n:]
         else:
             shadow_hit = seeded(c).any(surf.world_pos, sh_dir, T_MIN, sh_lim)
-            hi_next = hi
+            hi_next, at_next = hi, at
         shadow_hit = shadow_hit & do_shadow
 
         contrib = jnp.minimum(hit_value_this * c.cur_weight, 10.0)  # rgen:101
@@ -175,9 +194,9 @@ def bounce_chain(
             + (jnp.sum(active_next.astype(jnp.float32)) if trace_next else 0.0),
             rays_shadow=c.rays_shadow + jnp.sum(do_shadow.astype(jnp.float32)),
         )
-        return new_c, hi_next
+        return new_c, hi_next, at_next
 
-    hi0 = trace_start(carry)
+    hi0, at0 = trace_start(carry)
     carry = carry._replace(
         rays_main=carry.rays_main + jnp.sum(carry.active.astype(jnp.float32))
     )
@@ -187,21 +206,23 @@ def bounce_chain(
     # VMEM placement heuristics mis-size buffers under deep loop nests (it
     # tripped compile-time VMEM OOM) — and lets shading fuse across bounces.
     if depth - start_depth <= 8:
-        hi = hi0
+        hi, at = hi0, at0
         for d in range(start_depth, depth):
-            carry, hi = body(d, carry, hi, trace_next=(d < depth - 1))
+            carry, hi, at = body(d, carry, hi, at, trace_next=(d < depth - 1))
         return carry
     # deep-bounce fallback: fori with the fused trace every iteration (the
     # final iteration's next-ray half is traced and discarded — bounded waste)
 
     def fbody(d, state):
-        c, hi = state
-        c, hi = body(d, c, hi, trace_next=True)
+        c, hi, at = state
+        c, hi, at = body(d, c, hi, at, trace_next=True)
         # the fused call already counted its next rays; the final iteration
         # over-counts the discarded half, corrected after the loop
-        return c, hi
+        return c, hi, at
 
-    carry, _ = jax.lax.fori_loop(start_depth, depth, fbody, (carry, hi0))
+    carry, _, _ = jax.lax.fori_loop(
+        start_depth, depth, fbody, (carry, hi0, at0)
+    )
     # remove the dangling next-trace ray count from the last iteration
     return carry._replace(
         rays_main=carry.rays_main - jnp.sum(carry.active.astype(jnp.float32))

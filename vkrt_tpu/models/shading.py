@@ -75,6 +75,37 @@ def surface_at_hit(scene, tri, u, v, ray_dir, lod=None) -> SurfaceSample:
     uv = jnp.sum(cuv * bary, axis=1)
 
     mat_id = jnp.take(scene.tri_mat, tri)
+    del ray_dir  # ffnormal is computed but unused in the reference (rchit:98)
+    return _material_surface(
+        scene, mat_id, uv, world_pos, world_nrm, world_tag, world_bin, lod
+    )
+
+
+def surface_from_attrs(scene, attrs, lod=None) -> SurfaceSample:
+    """SurfaceSample from kernel-resolved HitAttrs — zero geometry gathers.
+
+    The trace kernel already interpolated position/normal/tangent/uv/material
+    (ops.pallas.trace cluster_work); this applies the same normalize +
+    Gram-Schmidt + handedness math as ``surface_at_hit`` (rchit:68-79) and
+    the shared material/texture evaluation. Miss lanes carry zeros: every
+    downstream division is epsilon-guarded, and callers mask miss lanes.
+    """
+    world_nrm = normalize(attrs.nrm)
+    world_tag = normalize(attrs.tan)
+    world_tag = normalize(
+        world_tag - dot(world_tag, world_nrm, keepdims=True) * world_nrm
+    )
+    world_bin = attrs.tan_w[:, None] * cross(world_nrm, world_tag)
+    return _material_surface(
+        scene, attrs.mat, attrs.uv, attrs.pos,
+        world_nrm, world_tag, world_bin, lod,
+    )
+
+
+def _material_surface(scene, mat_id, uv, world_pos, world_nrm, world_tag,
+                      world_bin, lod) -> SurfaceSample:
+    """Material/texture half of the rchit stage (rchit:80-113), shared by
+    the gather path and the kernel-resolve path."""
     base_factor = jnp.take(scene.mat_base_color, mat_id, axis=0)[:, :3]
     metal_f = jnp.take(scene.mat_metallic, mat_id)
     rough_f = jnp.take(scene.mat_roughness, mat_id)
@@ -129,7 +160,6 @@ def surface_at_hit(scene, tri, u, v, ray_dir, lod=None) -> SurfaceSample:
         tangent = world_tag
         binormal = world_bin
 
-    del ray_dir  # ffnormal is computed but unused in the reference (rchit:98)
     return SurfaceSample(
         world_pos=world_pos,
         shading_normal=shading_normal,

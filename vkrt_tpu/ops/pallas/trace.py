@@ -69,6 +69,37 @@ LANES = 128
 INF = 3e38  # python float: jnp scalars would be captured as kernel constants
 _DET_EPS = 1e-9
 
+# --- in-kernel attribute resolve -------------------------------------------
+# 26 packed per-corner attribute tables, delta form (a0, a1-a0, a2-a0) so a
+# candidate interpolates with 2 FMAs per component: value = a0 + u*d1 + v*d2.
+# Table order:
+#   0-2  n0 xyz      3-5  dn1 xyz     6-8  dn2 xyz     (corner normals)
+#   9-11 t0 xyz     12-14 dt1 xyz    15-17 dt2 xyz     (corner tangents xyz)
+#   18   tw (corner-0 tangent handedness w)
+#   19-21 u0 du1 du2  22-24 v0 dv1 dv2                 (corner uvs)
+#   25   mat (per-triangle material id as f32)
+ATTR_TABLES = 26
+# Kernel output block, in LANES-wide column slots:
+#   plain:   [t | idx-bits | u | v]                        (4 cols)
+#   resolve: + [pos xyz | nrm xyz | tan xyz | tw | uu | vv | mat]  (17 cols)
+OUT_COLS_PLAIN = 4
+OUT_COLS_RESOLVE = 17
+# Total VMEM the kernel's resident tables may claim before attribute resolve
+# is disabled (geometry cols + attr cols + AABB/order tables must share the
+# ~16 MB/core VMEM with the pipelined ray/out blocks). The 143k-tri city
+# (T_pad ~221k slots -> 9+26 tables ~31 MB) falls back to gather shading.
+ATTR_VMEM_BUDGET = int(os.environ.get("VKRT_ATTR_BUDGET", str(12 * 2**20)))
+
+# Row-gated cluster work: the cluster vote keeps a per-ROW bitmask (one
+# lane-rotation pass before the sublane fold, stored to a VMEM scratch) and
+# each (8,128)-row's Möller-Trumbore work runs under pl.when on its row bit.
+# A block whose rays diverge (incoherent bounce pools) or die (fused batches)
+# then pays per-visit cost proportional to the rows that can actually
+# improve, instead of all BLOCK_ROWS — the sub-block granularity VERDICT
+# round-2 item 2(a) asks for, with 8 scalar VMEM reads + branches per visit
+# as the only overhead.
+ROW_GATE = os.environ.get("VKRT_ROW_GATE", "1") == "1"
+
 
 class ClusterScene(NamedTuple):
     """Triangle + vote-tree data packed for the kernel (host-built)."""
@@ -96,6 +127,14 @@ class ClusterScene(NamedTuple):
     # measured 31x slower; see module docstring).
     sup_oct_aabb: jnp.ndarray  # (8 * n_sup_pad, 8) f32
     sup_oct_id: jnp.ndarray    # (8 * n_sup_pad, 16) i32, col 0 = super id
+    # In-kernel attribute resolve (round 3): packed per-corner shading
+    # attributes in delta form, () when the scene's tables don't fit the
+    # VMEM budget (see ATTR_TABLES / _attr_budget_ok). When present, the
+    # kernel interpolates the winning triangle's normal/tangent/uv/material
+    # while its corner data is VMEM-resident — the rchit fetch+interpolate
+    # (raytrace.rchit:41-79) done where the RT core does it, replacing ~36
+    # floats/lane of gather-bound XLA in the shading stage.
+    attr_cols: tuple = ()      # 26 arrays (T_pad//128, 128) f32
 
 
 def _inverted_aabb(n):
@@ -183,13 +222,17 @@ def _build_levels(cluster_aabb6: np.ndarray):
     return tuple(level_aabb), tuple(level_order), tuple(counts)
 
 
-def build_cluster_scene(tri_v0, tri_e1, tri_e2) -> ClusterScene:
+def build_cluster_scene(tri_v0, tri_e1, tri_e2, attrs=None) -> ClusterScene:
     """Pack triangles into clusters + vote tree for the kernel.
 
     Prefers the native binned-SAH decomposition (native/bvh_builder.cpp via
     utils.native) — SAH subtrees give tighter cluster boxes than Morton runs,
     which directly cuts the triangles each ray block tests. Falls back to
     Morton-order clustering when the native library is unavailable.
+
+    ``attrs``: optional (corner_normal (T,3,3), corner_tangent (T,3,4),
+    corner_uv (T,3,2), tri_mat (T,)) — packed for in-kernel attribute
+    resolve when the tables fit the VMEM budget.
     """
     from vkrt_tpu.utils import native
 
@@ -203,12 +246,47 @@ def build_cluster_scene(tri_v0, tri_e1, tri_e2) -> ClusterScene:
     if sah is not None:
         tri_order, cluster_aabb, _super_aabb, n_clusters, _ = sah
         return _pack_cluster_scene(tri_v0, tri_e1, tri_e2, tri_order,
-                                   cluster_aabb, n_clusters)
-    return _build_cluster_scene_morton(tri_v0, tri_e1, tri_e2)
+                                   cluster_aabb, n_clusters, attrs)
+    return _build_cluster_scene_morton(tri_v0, tri_e1, tri_e2, attrs)
+
+
+def _attrs_fit_budget(t_pad: int) -> bool:
+    """Do geometry + attribute tables fit the resident-VMEM budget?"""
+    return 4 * t_pad * (9 + ATTR_TABLES) <= ATTR_VMEM_BUDGET
+
+
+def _pack_attr_cols(tri_order, attrs) -> tuple:
+    """Pack per-corner attributes into 26 delta-form column tables (see
+    ATTR_TABLES for the layout), reordered by the packed slot order."""
+    corner_normal, corner_tangent, corner_uv, tri_mat = attrs
+    cn = np.asarray(corner_normal, np.float32)
+    ct = np.asarray(corner_tangent, np.float32)
+    cu = np.asarray(corner_uv, np.float32)
+    tm = np.asarray(tri_mat, np.float32)
+    valid = tri_order >= 0
+    safe = np.where(valid, tri_order, 0)
+
+    srcs = []
+    for arr in (cn, ct[..., :3]):
+        srcs += [arr[:, 0, j] for j in range(3)]
+        srcs += [arr[:, 1, j] - arr[:, 0, j] for j in range(3)]
+        srcs += [arr[:, 2, j] - arr[:, 0, j] for j in range(3)]
+    srcs.append(ct[:, 0, 3])  # handedness w from corner 0 (rchit:77-78)
+    for j in range(2):
+        srcs += [cu[:, 0, j],
+                 cu[:, 1, j] - cu[:, 0, j],
+                 cu[:, 2, j] - cu[:, 0, j]]
+    srcs.append(tm)
+    assert len(srcs) == ATTR_TABLES
+    return tuple(
+        jnp.asarray(np.where(valid, s[safe], 0.0).astype(np.float32)
+                    .reshape(-1, 128))
+        for s in srcs
+    )
 
 
 def _pack_cluster_scene(tri_v0, tri_e1, tri_e2, tri_order, cluster_aabb,
-                        n_clusters) -> ClusterScene:
+                        n_clusters, attrs=None) -> ClusterScene:
     v0 = np.asarray(tri_v0, np.float32)
     e1 = np.asarray(tri_e1, np.float32)
     e2 = np.asarray(tri_e2, np.float32)
@@ -224,6 +302,9 @@ def _pack_cluster_scene(tri_v0, tri_e1, tri_e2, tri_order, cluster_aabb,
         np.asarray(cluster_aabb[:, :6], np.float32)
     )
     sup_oct_aabb, sup_oct_id = _build_super_octants(level_aabb, counts)
+    attr_cols = ()
+    if attrs is not None and _attrs_fit_budget(tri_order.size):
+        attr_cols = _pack_attr_cols(np.asarray(tri_order), attrs)
     return ClusterScene(
         tri_cols=tri_cols,
         level_aabb=level_aabb,
@@ -234,6 +315,7 @@ def _pack_cluster_scene(tri_v0, tri_e1, tri_e2, tri_order, cluster_aabb,
         level_counts=counts,
         sup_oct_aabb=sup_oct_aabb,
         sup_oct_id=sup_oct_id,
+        attr_cols=attr_cols,
     )
 
 
@@ -269,7 +351,7 @@ def _build_super_octants(level_aabb, counts):
     return jnp.asarray(aabb_out), jnp.asarray(id_out)
 
 
-def _build_cluster_scene_morton(tri_v0, tri_e1, tri_e2) -> ClusterScene:
+def _build_cluster_scene_morton(tri_v0, tri_e1, tri_e2, attrs=None) -> ClusterScene:
     from vkrt_tpu.bvh.lbvh import morton3d
 
     v0 = np.asarray(tri_v0, np.float32)
@@ -314,11 +396,11 @@ def _build_cluster_scene_morton(tri_v0, tri_e1, tri_e2) -> ClusterScene:
             cmax[c] = bmax_o[s:e][m].max(0)
     cluster_aabb = np.concatenate([cmin, cmax], 1)
     return _pack_cluster_scene(tri_v0, tri_e1, tri_e2, tri_order,
-                               cluster_aabb, n_clusters_pad)
+                               cluster_aabb, n_clusters_pad, attrs)
 
 
 def refit_cluster_scene(cs: ClusterScene, tri_v0, tri_e1, tri_e2,
-                        moved: np.ndarray) -> ClusterScene:
+                        moved: np.ndarray, attrs=None) -> ClusterScene:
     """Refit the cluster scene after a subset of triangles moved.
 
     The TPU analog of a TLAS-only update (the reference re-records the top
@@ -357,6 +439,20 @@ def refit_cluster_scene(cs: ClusterScene, tri_v0, tri_e1, tri_e2,
         colarr = jnp.asarray(colarr).at[r_idx].set(jnp.asarray(fresh[r_idx]))
         new_cols.append(colarr)
 
+    # attribute columns move with the geometry (normals/tangents rotate
+    # under a re-pose); refresh the dirty rows from the caller's updated
+    # corner arrays. A resolving scene MUST pass attrs or the kernel would
+    # shade moved triangles with stale frames.
+    new_attr_cols = cs.attr_cols
+    if cs.attr_cols:
+        assert attrs is not None, \
+            "refit of an attribute-resolving ClusterScene needs attrs"
+        fresh_attrs = _pack_attr_cols(order, attrs)
+        new_attr_cols = tuple(
+            jnp.asarray(old).at[r_idx].set(fresh[r_idx])
+            for old, fresh in zip(cs.attr_cols, fresh_attrs)
+        )
+
     # recompute dirty clusters' AABBs (vectorized over all slots, cheap)
     vld = valid.reshape(-1, CLUSTER)
     c_v0 = v0[safe].reshape(-1, CLUSTER, 3)
@@ -394,6 +490,7 @@ def refit_cluster_scene(cs: ClusterScene, tri_v0, tri_e1, tri_e2,
         level_counts=counts,
         sup_oct_aabb=sup_oct_aabb,
         sup_oct_id=sup_oct_id,
+        attr_cols=new_attr_cols,
     )
 
 
@@ -545,7 +642,8 @@ def _for_each_set_bit(word, body):
     jax.lax.fori_loop(0, _popcount32(word_u), step, word_u)
 
 
-def _trace_kernel(n_levels: int, t_min: float, true_super: int, *refs):
+def _trace_kernel(n_levels: int, t_min: float, true_super: int,
+                  resolve: bool, *refs):
     """Unified closest/any trace: static super-word scan + voted visits.
 
     Rays arrive as ONE packed (8, 7*128) block [o.xyz | d.xyz | t_lim] and
@@ -572,7 +670,13 @@ def _trace_kernel(n_levels: int, t_min: float, true_super: int, *refs):
     aabb_refs = refs[0:L]
     sup_oct_aabb, sup_oct_id = refs[L], refs[L + 1]
     tri_refs = refs[L + 2 : L + 11]
-    rays_ref, out_ref = refs[L + 11], refs[L + 12]
+    nxt = L + 11
+    attr_refs = ()
+    if resolve:
+        attr_refs = refs[nxt : nxt + ATTR_TABLES]
+        nxt += ATTR_TABLES
+    rays_ref, out_ref, rowvote_ref = refs[nxt], refs[nxt + 1], refs[nxt + 2]
+    out_cols = OUT_COLS_RESOLVE if resolve else OUT_COLS_PLAIN
 
     rays = rays_ref[:]
     ox = rays[:, 0 * LANES : 1 * LANES]
@@ -600,14 +704,29 @@ def _trace_kernel(n_levels: int, t_min: float, true_super: int, *refs):
         jnp.full((BLOCK_ROWS, LANES), -1, jnp.int32), jnp.float32
     )
     out_ref[:] = jnp.concatenate(
-        [tm, neg1_bits, jnp.zeros((BLOCK_ROWS, 2 * LANES), jnp.float32)],
+        [tm, neg1_bits,
+         jnp.zeros((BLOCK_ROWS, (out_cols - 2) * LANES), jnp.float32)],
         axis=1,
     )
 
-    def cluster_work(c):
-        """Test all 64 triangles of cluster c against the ray block."""
+    def cluster_work(c, bit=None):
+        """Test all 64 triangles of cluster c against the ray block.
+
+        ``bit``: this cluster's bit index in the rowvote scratch (row-gated
+        execution, see ROW_GATE); None disables gating.
+
+        With ``resolve``, the winning candidate's shading attributes are
+        interpolated HERE, while the cluster's corner tables are
+        VMEM-resident — the rchit attribute fetch (raytrace.rchit:41-79)
+        done where the data already is, instead of a gather-bound XLA pass
+        over HBM afterwards. Delta-form interpolation (a0 + u*d1 + v*d2)
+        costs 2 FMAs per component per candidate; the winner is selected
+        with the same pick mask as u/v.
+        """
         tiles = _cluster_tiles(tri_refs, c)
-        for row in range(BLOCK_ROWS):  # static unroll: 128 rays per row
+        atiles = _cluster_tiles(attr_refs, c) if resolve else None
+
+        def row_work(row):
             oxr = ox[row : row + 1, :]
             oyr = oy[row : row + 1, :]
             ozr = oz[row : row + 1, :]
@@ -620,6 +739,10 @@ def _trace_kernel(n_levels: int, t_min: float, true_super: int, *refs):
             )
             u_row = out_ref[row : row + 1, 2 * LANES : 3 * LANES]
             v_row = out_ref[row : row + 1, 3 * LANES : 4 * LANES]
+            ext = [
+                out_ref[row : row + 1, k * LANES : (k + 1) * LANES]
+                for k in range(4, out_cols)
+            ]
             for g in range(CLUSTER // GROUP):
                 base = c * CLUSTER + g * GROUP
                 t_c, u_c, v_c, valid = _mt_group(
@@ -639,38 +762,98 @@ def _trace_kernel(n_levels: int, t_min: float, true_super: int, *refs):
                 idx_row = jnp.where(improved, base + win_sub, idx_row)
                 u_row = jnp.where(improved, u_g, u_row)
                 v_row = jnp.where(improved, v_g, v_row)
+                if resolve:
+                    def a(i, g=g):
+                        return atiles[i][g]
+
+                    def psum(x):
+                        return jnp.sum(
+                            jnp.where(pick, x, 0.0), axis=0, keepdims=True
+                        )
+
+                    cand = [
+                        # pos = v0 + u*e1 + v*e2 (from the geometry tiles)
+                        tiles[0][g] + u_c * tiles[3][g] + v_c * tiles[6][g],
+                        tiles[1][g] + u_c * tiles[4][g] + v_c * tiles[7][g],
+                        tiles[2][g] + u_c * tiles[5][g] + v_c * tiles[8][g],
+                    ]
+                    for k in range(3):   # normal xyz
+                        cand.append(a(k) + u_c * a(3 + k) + v_c * a(6 + k))
+                    for k in range(3):   # tangent xyz
+                        cand.append(
+                            a(9 + k) + u_c * a(12 + k) + v_c * a(15 + k)
+                        )
+                    cand.append(a(18))                            # tangent w
+                    cand.append(a(19) + u_c * a(20) + v_c * a(21))  # uv.u
+                    cand.append(a(22) + u_c * a(23) + v_c * a(24))  # uv.v
+                    cand.append(a(25))                            # mat id
+                    ext = [
+                        jnp.where(improved, psum(x), e)
+                        for x, e in zip(cand, ext)
+                    ]
             out_ref[row : row + 1, 0:LANES] = t_row
             out_ref[row : row + 1, LANES : 2 * LANES] = pltpu.bitcast(
                 idx_row, jnp.float32
             )
             out_ref[row : row + 1, 2 * LANES : 3 * LANES] = u_row
             out_ref[row : row + 1, 3 * LANES : 4 * LANES] = v_row
+            if resolve:
+                for k, e in enumerate(ext):
+                    out_ref[row : row + 1, (4 + k) * LANES : (5 + k) * LANES] = e
+
+        for row in range(BLOCK_ROWS):  # static unroll: 128 rays per row
+            if bit is None:
+                row_work(row)
+            else:
+                # gate the row on its own vote bit: a row whose 128 rays all
+                # missed this cluster's box (under their CURRENT t bounds)
+                # cannot improve and skips its ~280 vector ops
+                live = ((rowvote_ref[row, 0] >> bit) & 1) != 0
+                pl.when(live)(lambda row=row: row_work(row))
 
     def t_best():
         return out_ref[:, 0:LANES]
 
-    def vote_children(aabb_ref, parent):
-        """Vote the 16 children of ``parent`` -> one scalar bitmask."""
+    def vote_word(aabb_ref, idx_base, save_rows: bool):
+        """Vote 16 consecutive boxes at ``idx_base`` -> one scalar bitmask.
+
+        ``save_rows``: additionally store each ROW's own 16-bit vote word to
+        the rowvote scratch (lane-rotation fold first, so every lane of row
+        r holds row r's word, then one vector store) — consumed by
+        cluster_work's per-row gating. Same total fold ops as
+        _or_reduce_scalar, reordered."""
         t_lim = t_best()
         m = jnp.zeros((BLOCK_ROWS, LANES), jnp.uint32)
         for b in range(FANOUT):  # static unroll
-            hit = _slab_vote(aabb_ref, parent * FANOUT + b,
+            hit = _slab_vote(aabb_ref, idx_base + b,
                              ox, oy, oz, ix, iy, iz, t_min, t_lim)
             m = m | jnp.where(hit, jnp.uint32(1 << b), jnp.uint32(0))
-        return _or_reduce_scalar(m)
+        if not save_rows:
+            return _or_reduce_scalar(m)
+        for sh in (64, 32, 16, 8, 4, 2, 1):
+            m = m | pltpu.roll(m, sh, 1)
+        rowvote_ref[:] = pltpu.bitcast(m, jnp.int32)
+        r = m.shape[0]
+        while r > 1:
+            m = m[: r // 2, :] | m[r // 2 : r, :]
+            r //= 2
+        return jnp.max(pltpu.bitcast(m, jnp.int32))
+
+    def vote_children(aabb_ref, parent, save_rows=False):
+        """Vote the 16 children of ``parent`` -> one scalar bitmask."""
+        return vote_word(aabb_ref, parent * FANOUT, save_rows)
 
     if L == 1:
         # tiny scene: every cluster fits one top level — scan its words
         n_words = -(-true_super // FANOUT)
         for w in range(n_words):
-            t_lim = t_best()
-            m = jnp.zeros((BLOCK_ROWS, LANES), jnp.uint32)
-            for b in range(FANOUT):
-                hit = _slab_vote(aabb_refs[0], w * FANOUT + b,
-                                 ox, oy, oz, ix, iy, iz, t_min, t_lim)
-                m = m | jnp.where(hit, jnp.uint32(1 << b), jnp.uint32(0))
-            word = _or_reduce_scalar(m)
-            _for_each_set_bit(word, lambda k, w=w: cluster_work(w * FANOUT + k))
+            word = vote_word(aabb_refs[0], w * FANOUT, ROW_GATE)
+            _for_each_set_bit(
+                word,
+                lambda k, w=w: cluster_work(
+                    w * FANOUT + k, k if ROW_GATE else None
+                ),
+            )
     else:
         # block-level early-out: one 16-box vote over the TOP level covers
         # the whole scene — a block of dead/parked rays (fused batches park
@@ -697,19 +880,16 @@ def _trace_kernel(n_levels: int, t_min: float, true_super: int, *refs):
             aabb_clu = aabb_refs[L - 1]
             n_words = -(-true_super // FANOUT)
             for w in range(n_words):
-                t_lim = t_best()
-                m = jnp.zeros((BLOCK_ROWS, LANES), jnp.uint32)
-                for b in range(FANOUT):
-                    hit = _slab_vote(sup_oct_aabb, base + w * FANOUT + b,
-                                     ox, oy, oz, ix, iy, iz, t_min, t_lim)
-                    m = m | jnp.where(hit, jnp.uint32(1 << b), jnp.uint32(0))
-                word = _or_reduce_scalar(m)
+                word = vote_word(sup_oct_aabb, base + w * FANOUT, False)
 
                 def super_body(sb, w=w):
                     sid = sup_oct_id[base + w * FANOUT + sb, 0]
-                    cword = vote_children(aabb_clu, sid)
+                    cword = vote_children(aabb_clu, sid, ROW_GATE)
                     _for_each_set_bit(
-                        cword, lambda k, s=sid: cluster_work(s * FANOUT + k)
+                        cword,
+                        lambda k, s=sid: cluster_work(
+                            s * FANOUT + k, k if ROW_GATE else None
+                        ),
                     )
 
                 _for_each_set_bit(word, super_body)
@@ -767,19 +947,24 @@ def _chunk_rows(packed, rows):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n_levels", "t_min", "true_super", "interpret")
+    jax.jit,
+    static_argnames=("n_levels", "t_min", "true_super", "interpret", "resolve"),
 )
 def _trace_call(cs: ClusterScene, orig, direction, t_lim, n_levels, t_min,
-                true_super, interpret):
+                true_super, interpret, resolve=False):
     packed, n, rows = _pack_rays(orig, direction, t_lim)
     chunks, chunk_rows = _chunk_rows(packed, rows)
+    out_cols = OUT_COLS_RESOLVE if resolve else OUT_COLS_PLAIN
     ray_spec = pl.BlockSpec(
         (PROG_ROWS, 7 * LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
     out_spec = pl.BlockSpec(
-        (PROG_ROWS, 4 * LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+        (PROG_ROWS, out_cols * LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
-    kernel = functools.partial(_trace_kernel, n_levels, t_min, true_super)
+    kernel = functools.partial(
+        _trace_kernel, n_levels, t_min, true_super, resolve
+    )
+    attr_cols = cs.attr_cols if resolve else ()
 
     def chunk_body(chunk):
         out = pl.pallas_call(
@@ -789,27 +974,46 @@ def _trace_call(cs: ClusterScene, orig, direction, t_lim, n_levels, t_min,
                 # AABB/order tables live in VMEM: SMEM overflows past ~2k
                 # nodes and Mosaic supports scalar loads from VMEM refs
                 *[pl.BlockSpec(memory_space=pltpu.VMEM)] * (n_levels + 2),
-                *[pl.BlockSpec(memory_space=pltpu.VMEM)] * 9,
+                *[pl.BlockSpec(memory_space=pltpu.VMEM)] * (9 + len(attr_cols)),
                 ray_spec,
             ],
             out_specs=out_spec,
-            out_shape=jax.ShapeDtypeStruct((chunk_rows, 4 * LANES), jnp.float32),
+            out_shape=jax.ShapeDtypeStruct(
+                (chunk_rows, out_cols * LANES), jnp.float32
+            ),
+            scratch_shapes=[pltpu.VMEM((PROG_ROWS, LANES), jnp.int32)],
             interpret=interpret,
-        )(*cs.level_aabb, cs.sup_oct_aabb, cs.sup_oct_id, *cs.tri_cols, chunk)
+        )(*cs.level_aabb, cs.sup_oct_aabb, cs.sup_oct_id, *cs.tri_cols,
+          *attr_cols, chunk)
         # barrier: stop XLA from fusing/holding the frame-sized outputs in
         # scoped VMEM (repeated compile-time VMEM OOMs without it)
         return jax.lax.optimization_barrier(out)
 
-    out = jax.lax.map(chunk_body, chunks).reshape(-1, 4 * LANES)
-    t = out[:, 0:LANES].reshape(-1)[:n]
+    out = jax.lax.map(chunk_body, chunks).reshape(-1, out_cols * LANES)
+
+    def col(k):
+        return out[:, k * LANES : (k + 1) * LANES].reshape(-1)[:n]
+
+    t = col(0)
     idx = jax.lax.bitcast_convert_type(
         out[:, LANES : 2 * LANES], jnp.int32
     ).reshape(-1)[:n]
-    u = out[:, 2 * LANES : 3 * LANES].reshape(-1)[:n]
-    v = out[:, 3 * LANES : 4 * LANES].reshape(-1)[:n]
+    u = col(2)
+    v = col(3)
     hit = idx >= 0
     tri = jnp.take(cs.tri_remap, jnp.maximum(idx, 0))
-    return hit, jnp.where(hit, t, 0.0), jnp.where(hit, tri, -1), u, v
+    base = (hit, jnp.where(hit, t, 0.0), jnp.where(hit, tri, -1), u, v)
+    if not resolve:
+        return base
+    attrs = (
+        jnp.stack([col(4), col(5), col(6)], axis=-1),    # pos
+        jnp.stack([col(7), col(8), col(9)], axis=-1),    # nrm (unnormalized)
+        jnp.stack([col(10), col(11), col(12)], axis=-1),  # tan (unnormalized)
+        col(13),                                          # tan w
+        jnp.stack([col(14), col(15)], axis=-1),           # uv
+        col(16).astype(jnp.int32),                        # mat id
+    )
+    return base + attrs
 
 
 class PallasTracer(NamedTuple):
@@ -818,12 +1022,18 @@ class PallasTracer(NamedTuple):
     cs: ClusterScene
     interpret: bool
 
-    def _call(self, orig, direction, t_min, t_lim):
+    @property
+    def resolves_attrs(self) -> bool:
+        """True when ``closest_surface`` is available (attr tables resident)."""
+        return bool(self.cs.attr_cols)
+
+    def _call(self, orig, direction, t_min, t_lim, resolve=False):
         counts = self.cs.level_counts
         true_super = counts[-2] if len(counts) > 1 else counts[-1]
         return _trace_call(
             self.cs, orig, direction, t_lim,
             len(counts), float(t_min), true_super, self.interpret,
+            resolve=resolve,
         )
 
     def closest(self, orig, direction, t_min, t_max, t_lim=None):
@@ -838,6 +1048,28 @@ class PallasTracer(NamedTuple):
         hit, t, tri, u, v = self._call(orig, direction, t_min, t_lim)
         return HitInfo(hit=hit, t=t, tri=tri, u=u, v=v)
 
+    def closest_surface(self, orig, direction, t_min, t_max, t_lim=None):
+        """Closest hit + in-kernel-resolved shading attributes.
+
+        Returns (HitInfo, HitAttrs); attr fields are raw interpolants
+        (normal/tangent unnormalized, Gram-Schmidt done by the shading
+        stage) and are zero on miss lanes. Requires ``resolves_attrs``.
+        """
+        from vkrt_tpu.ops.trace import HitAttrs, HitInfo
+
+        assert self.cs.attr_cols, "scene attribute tables not resident"
+        if t_lim is None:
+            t_lim = jnp.broadcast_to(
+                jnp.asarray(t_max, orig.dtype), orig.shape[:1]
+            )
+        hit, t, tri, u, v, pos, nrm, tan, tan_w, uv, mat = self._call(
+            orig, direction, t_min, t_lim, resolve=True
+        )
+        return (
+            HitInfo(hit=hit, t=t, tri=tri, u=u, v=v),
+            HitAttrs(pos=pos, nrm=nrm, tan=tan, tan_w=tan_w, uv=uv, mat=mat),
+        )
+
     def any(self, orig, direction, t_min, t_max):
         """Any-hit (shadow/visibility); ``t_max`` may be per-ray."""
         t_lim = jnp.broadcast_to(
@@ -850,5 +1082,9 @@ class PallasTracer(NamedTuple):
 def make_pallas_tracer(scene, interpret: bool = None) -> PallasTracer:
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
-    cs = build_cluster_scene(scene.tri_v0, scene.tri_e1, scene.tri_e2)
+    cs = build_cluster_scene(
+        scene.tri_v0, scene.tri_e1, scene.tri_e2,
+        attrs=(scene.corner_normal, scene.corner_tangent, scene.corner_uv,
+               scene.tri_mat),
+    )
     return PallasTracer(cs=cs, interpret=interpret)

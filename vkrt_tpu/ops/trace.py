@@ -36,6 +36,21 @@ class HitInfo(NamedTuple):
     v: jnp.ndarray        # (N,)
 
 
+class HitAttrs(NamedTuple):
+    """Shading attributes resolved inside the trace kernel (PallasTracer
+    ``closest_surface``): the rchit attribute fetch+interpolate
+    (raytrace.rchit:41-79) done while the winning cluster's corner data is
+    VMEM-resident. Raw interpolants — normal/tangent unnormalized, all
+    fields zero on miss lanes."""
+
+    pos: jnp.ndarray      # (N,3) v0 + u*e1 + v*e2
+    nrm: jnp.ndarray      # (N,3) barycentric corner normal
+    tan: jnp.ndarray      # (N,3) barycentric corner tangent xyz
+    tan_w: jnp.ndarray    # (N,)  corner-0 tangent handedness
+    uv: jnp.ndarray       # (N,2)
+    mat: jnp.ndarray      # (N,) int32 material id
+
+
 def _tri_blocks(tri_v0, tri_e1, tri_e2, block: int):
     t = tri_v0.shape[0]
     nb = -(-t // block)

@@ -113,7 +113,11 @@ def repose_tracer(tracer, inst: InstancedScene, moved: np.ndarray):
             seed=tracer.seed,
         )
     if isinstance(tracer, PallasTracer):
-        cs = refit_cluster_scene(tracer.cs, sc.tri_v0, sc.tri_e1, sc.tri_e2, moved)
+        cs = refit_cluster_scene(
+            tracer.cs, sc.tri_v0, sc.tri_e1, sc.tri_e2, moved,
+            attrs=(sc.corner_normal, sc.corner_tangent, sc.corner_uv,
+                   sc.tri_mat),
+        )
         return tracer._replace(cs=cs)
     if isinstance(tracer, Tracer):
         if tracer.bvh is None:
