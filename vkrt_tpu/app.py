@@ -254,21 +254,47 @@ def run_sharded(args, scene, settings, cam_obj, clear, width, height) -> int:
         if n_spp != 1:
             print("hybrid mode shards pixels only; use --mesh N,1", file=sys.stderr)
             return 2
+        use_dn = settings.use_denoiser and settings.use_gi
+        if use_dn and height % n_tile != 0:
+            print(f"--denoiser under a mesh needs whole row bands: height "
+                  f"{height} not divisible by tile axis {n_tile}",
+                  file=sys.stderr)
+            return 2
         step = make_sharded_hybrid_step(
             scene, tracer, mesh, width=width, height=height,
             depth=settings.depth, use_shadows=settings.use_shadows,
             use_ao=settings.use_ao, use_gi=settings.use_gi,
+            use_denoiser=use_dn,
         )
         accum = jax.device_put(
             jnp.zeros((width * height, 4), jnp.float32),
             NamedSharding(mesh, P("tile")),
         )
+        dstate = None
+        if use_dn:
+            from vkrt_tpu.models.denoiser import DenoiserState, init_state
+
+            spec = DenoiserState(
+                hist_rad=P("tile"), hist_m1=P("tile"), hist_m2=P("tile"),
+                hist_len=P("tile"), prev_view_proj=P(),
+                prev_view_z=P("tile"), prev_normal=P("tile"),
+            )
+            dstate = jax.tree.map(
+                lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+                init_state(width, height), spec,
+            )
         clear4 = jnp.asarray(clear, jnp.float32)
-        rays = 0.0
+        # device-side ray counter: a float(r) each frame would sync the
+        # host into the frame loop (same rule as the engine's counter)
+        rays_dev = jnp.zeros((), jnp.float32)
         gbuf = None
         for f in range(args.frames):
-            gbuf, accum, r = step(cam, f, accum, clear4)
-            rays += float(r)
+            if use_dn:
+                gbuf, accum, r, dstate = step(cam, f, accum, clear4, dstate)
+            else:
+                gbuf, accum, r = step(cam, f, accum, clear4)
+            rays_dev = rays_dev + r
+        rays = float(rays_dev)
         out = post.composite(
             gbuf.color[:, :3], accum, rt_mode=0,
             view_accumulated=settings.view_accumulated, use_gi=settings.use_gi,

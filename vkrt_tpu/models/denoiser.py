@@ -101,6 +101,42 @@ def _gather(img_flat, idx):
     return jnp.take(img_flat, idx, axis=0)
 
 
+# --- row-halo machinery (shared by full-frame and tile-sharded filtering) ---
+#
+# The à-trous taps are periodic row shifts (jnp.roll semantics). Expressing
+# them as "pad k halo rows on each side, then slice" makes the SAME filter
+# body run full-frame (halo = own wrapped rows) and tile-sharded (halo =
+# neighbor bands fetched over ICI with jax.lax.ppermute on the tile ring —
+# the ring's wraparound IS roll's periodicity, so sharded output equals the
+# single-device image bit-for-bit).
+
+
+def _periodic_halo(x, k: int):
+    """Full-frame halo: periodic self-wrap (== jnp.roll row semantics)."""
+    return x[-k:], x[:k]
+
+
+def _ring_halo(axis_name: str):
+    """Halo fetch over a sharded row-band ring via ppermute."""
+
+    def fetch(x, k: int):
+        nd = jax.lax.axis_size(axis_name)
+        fwd = [(i, (i + 1) % nd) for i in range(nd)]
+        bwd = [(i, (i - 1) % nd) for i in range(nd)]
+        # my top halo = previous band's last k rows; my bottom halo = next
+        # band's first k rows
+        top = jax.lax.ppermute(x[-k:], axis_name, fwd)
+        bottom = jax.lax.ppermute(x[:k], axis_name, bwd)
+        return top, bottom
+
+    return fetch
+
+
+def _pad_rows(x, k: int, halo_fn):
+    top, bottom = halo_fn(x, k)
+    return jnp.concatenate([top, x, bottom], axis=0)
+
+
 def reproject(
     state: DenoiserState, world_pos, view_z, normal, width: int, height: int
 ):
@@ -133,11 +169,15 @@ def reproject(
         (y1 * width + x0, (1 - fx) * fy),
         (y1 * width + x1, fx * fy),
     ]
-    acc_rad = jnp.zeros_like(state.hist_rad)
-    acc_m1 = jnp.zeros_like(state.hist_m1)
-    acc_m2 = jnp.zeros_like(state.hist_m2)
-    acc_len = jnp.zeros_like(state.hist_len)
-    wsum = jnp.zeros_like(state.hist_m1)
+    # accumulators sized by the QUERY rows (a band under sharding), not the
+    # state (always full-frame): sharded reprojection gathers from the
+    # all-gathered history while producing only its own band
+    nq = world_pos.shape[0]
+    acc_rad = jnp.zeros((nq, 3), jnp.float32)
+    acc_m1 = jnp.zeros((nq,), jnp.float32)
+    acc_m2 = jnp.zeros((nq,), jnp.float32)
+    acc_len = jnp.zeros((nq,), jnp.float32)
+    wsum = jnp.zeros((nq,), jnp.float32)
     for idx, wgt in taps:
         pz = _gather(state.prev_view_z, idx)
         pn = _gather(state.prev_normal, idx)
@@ -164,14 +204,31 @@ def reproject(
     )
 
 
-def _neighborhood_clamp(hist_rad, cur_rad, width, height):
+def _neighborhood_clamp(hist_rad, cur_rad, width, height,
+                        halo_fn=None, axis_name=None):
     """Clamp history to the 3x3 box of the current frame (anti-ghosting).
 
     Edge-clamped shifts (pad-replicate + slice), NOT jnp.roll: wrap-around
     taps would let border pixels clamp against pixels from the opposite edge
-    of the frame, corrupting the anti-ghosting box at image borders."""
+    of the frame, corrupting the anti-ghosting box at image borders.
+
+    With ``halo_fn``/``axis_name`` (tile-sharded bands): interior band
+    borders take the true neighbor rows; the FIRST band's top halo and LAST
+    band's bottom halo replicate their own edge row, reproducing the
+    full-frame edge-pad exactly."""
     img = cur_rad.reshape(height, width, 3)
-    padded = jnp.pad(img, ((1, 1), (1, 1), (0, 0)), mode="edge")
+    if halo_fn is None:
+        padded = jnp.pad(img, ((1, 1), (1, 1), (0, 0)), mode="edge")
+    else:
+        top, bottom = halo_fn(img, 1)
+        nd = jax.lax.axis_size(axis_name)
+        band = jax.lax.axis_index(axis_name)
+        top = jnp.where(band == 0, img[:1], top)
+        bottom = jnp.where(band == nd - 1, img[-1:], bottom)
+        padded = jnp.pad(
+            jnp.concatenate([top, img, bottom], axis=0),
+            ((0, 0), (1, 1), (0, 0)), mode="edge",
+        )
     lo = img
     hi = img
     for dy in (-1, 0, 1):
@@ -185,7 +242,7 @@ def _neighborhood_clamp(hist_rad, cur_rad, width, height):
 
 
 def atrous_filter(radiance, normal, view_z, width, height, iterations: int = 3,
-                  variance=None, hit_dist_norm=None):
+                  variance=None, hit_dist_norm=None, halo_fn=None):
     """Edge-aware à-trous filtering. All inputs flat (N,...) row-major.
 
     ``variance``: optional (N,) luminance variance — adds the SVGF
@@ -193,8 +250,17 @@ def atrous_filter(radiance, normal, view_z, width, height, iterations: int = 3,
     ``hit_dist_norm``: optional (N,) in [0,1] — scales the spatial kernel
     weight so short-hit-distance (contact) regions blur less (the REBLUR
     hit-distance-driven blur radius, in à-trous form).
+    ``halo_fn``: row-halo source — None = full frame (periodic self-wrap,
+    identical to the jnp.roll formulation); ``_ring_halo(axis)`` = tile-
+    sharded bands exchanging boundary rows over the device ring, which
+    reproduces the full-frame result exactly (the ring's wraparound is
+    roll's periodicity).
     """
     h, w = height, width
+    halo = _periodic_halo if halo_fn is None else halo_fn
+    # halos come from the adjacent band only: the largest tap reach must fit
+    # in one band (also required by the periodic self-wrap slices)
+    assert h >= 2 ** iterations, (h, iterations)
     img = radiance.reshape(h, w, 3)
     nrm = normal.reshape(h, w, 3)
     z = view_z.reshape(h, w)
@@ -206,31 +272,41 @@ def atrous_filter(radiance, normal, view_z, width, height, iterations: int = 3,
 
     for it in range(iterations):
         step = 1 << it
+        k = 2 * step  # largest row reach this iteration
+        img_p = _pad_rows(img, k, halo)
+        nrm_p = _pad_rows(nrm, k, halo)
+        z_p = _pad_rows(z, k, halo)
+        var_p = None if var is None else _pad_rows(var, k, halo)
+        lum_p = _luminance(img_p)
+
+        def tap(p, sy, sx):
+            return jnp.roll(p[k + sy : k + sy + h], -sx, axis=1)
+
         acc = jnp.zeros_like(img)
         vacc = None if var is None else jnp.zeros_like(var)
         wsum = jnp.zeros((h, w, 1), img.dtype)
         v_wsum = jnp.zeros((h, w), img.dtype)
-        lum = _luminance(img)
+        lum = lum_p[k : k + h]
         sig_l = None
         if var is not None:
             # 3x3 pre-blur of variance stabilizes the weight (SVGF)
             vb = jnp.zeros_like(var)
             for dy in (-1, 0, 1):
                 for dx in (-1, 0, 1):
-                    vb = vb + jnp.roll(var, (-dy, -dx), axis=(0, 1))
+                    vb = vb + tap(var_p, dy, dx)
             sig_l = SIGMA_L * jnp.sqrt(vb / 9.0) + 1e-4
         for dy in range(-2, 3):
             for dx in range(-2, 3):
                 kw = _KERNEL[dy + 2] * _KERNEL[dx + 2]
                 sy, sx = dy * step, dx * step
-                img_q = jnp.roll(img, (-sy, -sx), axis=(0, 1))
-                nrm_q = jnp.roll(nrm, (-sy, -sx), axis=(0, 1))
-                z_q = jnp.roll(z, (-sy, -sx), axis=(0, 1))
+                img_q = tap(img_p, sy, sx)
+                nrm_q = tap(nrm_p, sy, sx)
+                z_q = tap(z_p, sy, sx)
                 w_n = jnp.maximum(jnp.sum(nrm * nrm_q, axis=-1), 0.0) ** SIGMA_N
                 w_z = jnp.exp(-jnp.abs(z - z_q) / (SIGMA_Z * abs(sy) + SIGMA_Z * abs(sx) + 1e-3))
                 wgt = kw * w_n * w_z
                 if var is not None:
-                    lum_q = jnp.roll(lum, (-sy, -sx), axis=(0, 1))
+                    lum_q = tap(lum_p, sy, sx)
                     wgt = wgt * jnp.exp(-jnp.abs(lum - lum_q) / sig_l)
                 if hd is not None and (dy or dx):
                     # short hit distances (contact occlusion) shrink the
@@ -244,7 +320,7 @@ def atrous_filter(radiance, normal, view_z, width, height, iterations: int = 3,
                 acc = acc + img_q * wgt[..., None]
                 wsum = wsum + wgt[..., None]
                 if var is not None:
-                    var_q = jnp.roll(var, (-sy, -sx), axis=(0, 1))
+                    var_q = tap(var_p, sy, sx)
                     vacc = vacc + var_q * wgt * wgt
                     v_wsum = v_wsum + wgt
         img = acc / jnp.maximum(wsum, 1e-8)
@@ -307,6 +383,91 @@ def denoise_temporal(
 
     # SVGF feeds the first filtered result back as next frame's history —
     # approximate with the final filtered image (stabler under motion)
+    new_state = DenoiserState(
+        hist_rad=filtered,
+        hist_m1=m1,
+        hist_m2=m2,
+        hist_len=new_len,
+        prev_view_proj=view_proj,
+        prev_view_z=jnp.abs(view_z),
+        prev_normal=normal,
+    )
+    return filtered, new_state
+
+
+def denoise_temporal_tile(
+    state: DenoiserState,
+    diff_rad_hitd,
+    norm_rough_packed,
+    view_z,
+    world_pos,
+    view_proj,
+    width: int,
+    height: int,
+    axis_name: str,
+    iterations: int = 3,
+):
+    """``denoise_temporal`` inside shard_map over row bands (the 'tile'
+    axis), per-pixel equal to the full-frame filter.
+
+    The two non-pointwise stages get TPU-native collectives instead of a
+    full-frame round trip:
+
+    * **reprojection** is a globally-scattered gather (camera motion can move
+      a pixel's history across any band boundary), so the six per-pixel
+      history arrays are ``all_gather``-ed over the ring (~9 floats/pixel —
+      sub-ms on ICI) and each band reprojects its own rows against them;
+    * **neighborhood clamp + à-trous** are stencils: boundary rows travel to
+      the adjacent band with ``ppermute`` halos (``_ring_halo``), never a
+      full-frame gather.
+
+    ``height`` is the FULL image height; all per-pixel inputs and the state
+    are this band's rows (height/n_tile of them, row-major). Returns
+    (filtered band, new band state). The reference's NRD denoiser operates
+    strictly full-frame at full resolution (main.cpp:290-298) — this is the
+    mesh-parallel form of that contract.
+    """
+    hb = world_pos.shape[0] // width  # band rows
+    halo_fn = _ring_halo(axis_name)
+
+    def gather_full(x):
+        return jax.lax.all_gather(x, axis_name, tiled=True)
+
+    full_state = state._replace(
+        hist_rad=gather_full(state.hist_rad),
+        hist_m1=gather_full(state.hist_m1),
+        hist_m2=gather_full(state.hist_m2),
+        hist_len=gather_full(state.hist_len),
+        prev_view_z=gather_full(state.prev_view_z),
+        prev_normal=gather_full(state.prev_normal),
+    )
+
+    unpacked = nrd.unpack_radiance_and_norm_hit_dist(diff_rad_hitd)
+    cur_rad = unpacked[..., :3]
+    hd_norm = unpacked[..., 3]
+    normal, _rough, _ = nrd.unpack_normal_and_roughness(norm_rough_packed)
+
+    h_rad, h_m1, h_m2, h_len = reproject(
+        full_state, world_pos, view_z, normal, width, height
+    )
+    h_rad = _neighborhood_clamp(
+        h_rad, cur_rad, width, hb, halo_fn=halo_fn, axis_name=axis_name
+    )
+
+    new_len = jnp.minimum(h_len + 1.0, MAX_HISTORY)
+    alpha = 1.0 / new_len
+    rad_acc = h_rad * (1.0 - alpha[:, None]) + cur_rad * alpha[:, None]
+    lum = _luminance(cur_rad)
+    m1 = h_m1 * (1.0 - alpha) + lum * alpha
+    m2 = h_m2 * (1.0 - alpha) + lum * lum * alpha
+    variance = jnp.maximum(m2 - m1 * m1, 0.0)
+    variance = variance + jnp.where(new_len < 4.0, 0.5 / new_len, 0.0)
+
+    filtered = atrous_filter(
+        rad_acc, normal, view_z, width, hb, iterations,
+        variance=variance, hit_dist_norm=hd_norm, halo_fn=halo_fn,
+    )
+
     new_state = DenoiserState(
         hist_rad=filtered,
         hist_m1=m1,

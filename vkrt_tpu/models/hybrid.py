@@ -194,6 +194,7 @@ def hybrid_frame(
     perm=None,
     inv_perm=None,
     denoise_state=None,
+    tile_axis=None,
 ):
     """Full hybrid frame: G-buffer pass + RT effects + accumulation
     (main.cpp:506-561). Returns (gbuffer, new_accum, rays, denoise_state').
@@ -205,7 +206,11 @@ def hybrid_frame(
     (engine layout): the denoiser then un-permutes its image-space inputs
     and re-permutes the filtered radiance.
     ``denoise_state``: optional DenoiserState — selects the temporal
-    (reprojecting) denoiser; None falls back to the spatial-only filter."""
+    (reprojecting) denoiser; None falls back to the spatial-only filter.
+    ``tile_axis``: shard_map mesh axis name when ``pix`` is a row-band of
+    a tile-sharded frame — the denoiser then runs in its mesh-parallel form
+    (ppermute halos + all-gathered reprojection history,
+    models/denoiser.denoise_temporal_tile) instead of being skipped."""
     gbuf = gbuffer_pass(scene, tracer, cam, width, height, clear_color, pix=pix)
     seed = seed_pixels(width, height, frame) if seeds is None else seeds
     n = width * height if pix is None else pix.shape[0]
@@ -216,7 +221,21 @@ def hybrid_frame(
     )
     rays = rays + jnp.asarray(float(n), jnp.float32)  # primary G-buffer rays
     new_state = denoise_state
-    if use_denoiser and use_gi and (pix is None or inv_perm is not None):
+    if use_denoiser and use_gi and tile_axis is not None:
+        from vkrt_tpu.models import denoiser as dn
+
+        assert denoise_state is not None, "tile denoiser is temporal-only"
+        filtered, new_state = dn.denoise_temporal_tile(
+            denoise_state,
+            diff_rad_hitd,
+            gbuf.norm_rough,
+            gbuf.view_z,
+            gbuf.position[:, :3],
+            cam.view_proj,
+            width, height, tile_axis,
+        )
+        new_accum = jnp.concatenate([filtered, new_accum[:, 3:4]], axis=-1)
+    elif use_denoiser and use_gi and (pix is None or inv_perm is not None):
         from vkrt_tpu.models import denoiser as dn
 
         def unperm(a):

@@ -80,42 +80,76 @@ def make_sharded_hybrid_step(
     scene, tracer, mesh: Mesh, *,
     width: int, height: int, depth: int,
     use_shadows: bool = True, use_ao: bool = True, use_gi: bool = False,
+    use_denoiser: bool = False,
 ):
     """Sharded hybrid frame: pixel tiles over the 'tile' axis (the hybrid
-    pass has one sample stream, so the spp axis must be 1). The denoiser is
-    full-frame-only (à-trous windows cross tile boundaries) and is applied
-    by the caller after gathering, if desired."""
+    pass has one sample stream, so the spp axis must be 1).
+
+    With ``use_denoiser`` (requires ``use_gi``), the temporal denoiser runs
+    INSIDE the mesh in its tile form (models/denoiser.denoise_temporal_tile:
+    ppermute row halos for the à-trous/clamp stencils, all-gathered history
+    for reprojection) — per-pixel equal to the full-frame filter. The step
+    then takes and returns a band-sharded DenoiserState. Requires
+    height % n_tile == 0 (whole row bands) and band height >= the filter's
+    2^iterations tap reach."""
+    from vkrt_tpu.models.denoiser import DenoiserState
     from vkrt_tpu.models.hybrid import hybrid_frame
 
     n = width * height
     n_tile = mesh.shape["tile"]
     assert mesh.shape["spp"] == 1, "hybrid mode shards pixels only"
     assert n % n_tile == 0, f"pixels {n} not divisible by tile axis {n_tile}"
+    if use_denoiser:
+        assert use_gi, "denoiser filters the GI channel"
+        assert height % n_tile == 0, \
+            f"denoised mesh needs whole row bands: {height} % {n_tile} != 0"
 
     pix_all = pixel_coords(width, height)
     pid_all = jnp.arange(n, dtype=jnp.uint32)
 
-    def shard_body(cam, frame, accum_shard, clear_color, pix, pid):
+    def shard_body(cam, frame, accum_shard, clear_color, dstate, pix, pid):
         seeds = tea(pid, jnp.uint32(frame))
-        gbuf, new_accum, rays, _ = hybrid_frame(
+        gbuf, new_accum, rays, new_state = hybrid_frame(
             scene, tracer, cam, frame, accum_shard, clear_color,
             width=width, height=height, depth=depth,
             use_shadows=use_shadows, use_ao=use_ao, use_gi=use_gi,
-            use_denoiser=False, pix=pix, seeds=seeds,
+            use_denoiser=use_denoiser, pix=pix, seeds=seeds,
+            denoise_state=dstate,
+            tile_axis="tile" if use_denoiser else None,
         )
-        return gbuf, new_accum, jax.lax.psum(rays, ("tile", "spp"))
+        return gbuf, new_accum, jax.lax.psum(rays, ("tile", "spp")), new_state
 
+    state_spec = DenoiserState(
+        hist_rad=P("tile"), hist_m1=P("tile"), hist_m2=P("tile"),
+        hist_len=P("tile"), prev_view_proj=P(),
+        prev_view_z=P("tile"), prev_normal=P("tile"),
+    )
     mapped = shard_map(
         shard_body,
         mesh=mesh,
-        in_specs=(P(), P(), P("tile"), P(), P("tile"), P("tile")),
-        out_specs=(P("tile"), P("tile"), P()),
+        in_specs=(P(), P(), P("tile"), P(),
+                  state_spec if use_denoiser else P(),
+                  P("tile"), P("tile")),
+        out_specs=(P("tile"), P("tile"), P(),
+                   state_spec if use_denoiser else P()),
         check_vma=False,
     )
 
+    if use_denoiser:
+        @jax.jit
+        def step(cam, frame, accum_rt, clear_color, denoise_state):
+            return mapped(cam, frame, accum_rt, clear_color, denoise_state,
+                          pix_all, pid_all)
+
+        return step
+
     @jax.jit
     def step(cam, frame, accum_rt, clear_color):
-        return mapped(cam, frame, accum_rt, clear_color, pix_all, pid_all)
+        gbuf, new_accum, rays, _ = mapped(
+            cam, frame, accum_rt, clear_color, jnp.zeros((), jnp.float32),
+            pix_all, pid_all,
+        )
+        return gbuf, new_accum, rays
 
     return step
 
