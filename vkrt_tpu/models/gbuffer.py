@@ -26,8 +26,14 @@ from vkrt_tpu.models.shading import surface_at_hit, surface_from_attrs
 from vkrt_tpu.ops import brdf as brdf_ops
 from vkrt_tpu.ops.intersect import T_MAX, T_MIN
 from vkrt_tpu.ops.nrd import pack_normal_and_roughness
-from vkrt_tpu.utils.camera import generate_rays
-from vkrt_tpu.utils.smath import dot, length, normalize, transform_point
+from vkrt_tpu.utils.camera import generate_rays, pixel_coords
+from vkrt_tpu.utils.smath import (
+    cross,
+    dot,
+    length,
+    normalize,
+    transform_point,
+)
 
 
 class GBuffer(NamedTuple):
@@ -91,20 +97,73 @@ def gbuffer_pass(
     miss = ~hi.hit
     tri = jnp.maximum(hi.tri, 0)
 
-    # mip LOD from the primary-ray footprint: pixel angular size times hit
-    # distance gives the world-space footprint; the per-triangle UV density
-    # converts to texels (trilinear like the raster sampler's
-    # LINEAR_MIPMAP_LINEAR, hello_vulkan.cpp:489-499)
-    pixel_angle = 2.0 * jnp.abs(cam.proj_inverse[1, 1]) / float(height)
-    tex_w = scene.tex_level_size[:, 0, 0].max().astype(jnp.float32)
-    density = jnp.take(scene.tri_uv_density, tri)
-    footprint_texels = hi.t * pixel_angle * density * tex_w
-    lod = jnp.log2(jnp.maximum(footprint_texels, 1e-9))
+    # screen-space UV derivatives by ray differentials: the per-pixel camera
+    # direction derivative is transferred onto the hit plane (Igehy-style)
+    # and pushed through the triangle's UV Jacobian — the analytic analog of
+    # the raster pipeline's implicit dFdx/dFdy, feeding the 4x ANISOTROPIC
+    # sampler the reference configures (hello_vulkan.cpp:452-454). Replaces
+    # the round-2 isotropic per-triangle-density LOD, which ignored grazing
+    # angles and footprint direction entirely.
+    from vkrt_tpu.scene import scene_is_textured
+
+    uv_grads = None
+    if scene_is_textured(scene):
+        pixc = pix if pix is not None else pixel_coords(width, height)
+        pi = cam.proj_inverse
+        rot = cam.view_inverse[:3, :3]  # camera->world rotation
+        # d(target)/d(pixel): projInverse column scaled by the NDC step,
+        # rotated to world (generate_rays' target, rgen:47-50)
+        # explicit multiply-adds, not a matmul: tiny matmuls hit the MXU at
+        # bf16 default precision on TPU (same rule as generate_rays)
+        def rot_mul(v):
+            return rot[:, 0] * v[0] + rot[:, 1] * v[1] + rot[:, 2] * v[2]
+
+        ax = rot_mul(pi[:3, 0] * (2.0 / float(width)))
+        ay = rot_mul(pi[:3, 1] * (2.0 / float(height)))
+        # |target| per pixel (direction was normalized in camera space)
+        dndc = (pixc + 0.5) / jnp.asarray([width, height], jnp.float32) * 2.0 - 1.0
+        t3 = jnp.stack(
+            [
+                pi[0, 0] * dndc[:, 0] + pi[0, 1] * dndc[:, 1] + pi[0, 2] + pi[0, 3],
+                pi[1, 0] * dndc[:, 0] + pi[1, 1] * dndc[:, 1] + pi[1, 2] + pi[1, 3],
+                pi[2, 0] * dndc[:, 0] + pi[2, 1] * dndc[:, 1] + pi[2, 2] + pi[2, 3],
+            ],
+            axis=-1,
+        )
+        inv_tlen = 1.0 / jnp.maximum(length(t3), 1e-20)
+
+        e1 = jnp.take(scene.tri_e1, tri, axis=0)
+        e2 = jnp.take(scene.tri_e2, tri, axis=0)
+        cuv = jnp.take(scene.corner_uv, tri, axis=0)  # (N,3,2)
+        ng = cross(e1, e2)
+        denom = dot(ng, direction)
+        safe_denom = jnp.where(jnp.abs(denom) < 1e-12, 1e-12, denom)
+        # barycentric solve: world step -> (du_bary, dv_bary) via the edge
+        # Gram matrix, then -> UV through the corner-UV deltas
+        a = dot(e1, e1)
+        b = dot(e1, e2)
+        c = dot(e2, e2)
+        inv_det = 1.0 / jnp.maximum(a * c - b * b, 1e-20)
+        duv1 = cuv[:, 1] - cuv[:, 0]
+        duv2 = cuv[:, 2] - cuv[:, 0]
+
+        def uv_deriv(axis_vec):
+            # normalized-direction derivative, then plane transfer at t
+            dd = (axis_vec[None, :] - direction * dot(direction, axis_vec[None, :], keepdims=True)) * inv_tlen[:, None]
+            dP = hi.t[:, None] * (dd - direction * (dot(ng, dd) / safe_denom)[:, None])
+            p = dot(e1, dP)
+            q = dot(e2, dP)
+            du_b = (c * p - b * q) * inv_det
+            dv_b = (a * q - b * p) * inv_det
+            return duv1 * du_b[:, None] + duv2 * dv_b[:, None]
+
+        uv_grads = (uv_deriv(ax), uv_deriv(ay))
 
     surf = (
-        surface_from_attrs(scene, at, lod=lod)
+        surface_from_attrs(scene, at, uv_grads=uv_grads)
         if use_resolve
-        else surface_at_hit(scene, tri, hi.u, hi.v, direction, lod=lod)
+        else surface_at_hit(scene, tri, hi.u, hi.v, direction,
+                            uv_grads=uv_grads)
     )
 
     v = normalize(-direction)

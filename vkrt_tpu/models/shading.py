@@ -47,7 +47,8 @@ class SurfaceSample(NamedTuple):
     mat_id: jnp.ndarray        # (N,) int32
 
 
-def surface_at_hit(scene, tri, u, v, ray_dir, lod=None) -> SurfaceSample:
+def surface_at_hit(scene, tri, u, v, ray_dir, lod=None,
+                   uv_grads=None) -> SurfaceSample:
     """Interpolate attributes + evaluate material at hit (rchit:31-113).
 
     ``tri`` must be pre-clamped >= 0 (callers mask miss lanes).
@@ -77,11 +78,12 @@ def surface_at_hit(scene, tri, u, v, ray_dir, lod=None) -> SurfaceSample:
     mat_id = jnp.take(scene.tri_mat, tri)
     del ray_dir  # ffnormal is computed but unused in the reference (rchit:98)
     return _material_surface(
-        scene, mat_id, uv, world_pos, world_nrm, world_tag, world_bin, lod
+        scene, mat_id, uv, world_pos, world_nrm, world_tag, world_bin, lod,
+        uv_grads,
     )
 
 
-def surface_from_attrs(scene, attrs, lod=None) -> SurfaceSample:
+def surface_from_attrs(scene, attrs, lod=None, uv_grads=None) -> SurfaceSample:
     """SurfaceSample from kernel-resolved HitAttrs — zero geometry gathers.
 
     The trace kernel already interpolated position/normal/tangent/uv/material
@@ -98,12 +100,12 @@ def surface_from_attrs(scene, attrs, lod=None) -> SurfaceSample:
     world_bin = attrs.tan_w[:, None] * cross(world_nrm, world_tag)
     return _material_surface(
         scene, attrs.mat, attrs.uv, attrs.pos,
-        world_nrm, world_tag, world_bin, lod,
+        world_nrm, world_tag, world_bin, lod, uv_grads,
     )
 
 
 def _material_surface(scene, mat_id, uv, world_pos, world_nrm, world_tag,
-                      world_bin, lod) -> SurfaceSample:
+                      world_bin, lod, uv_grads=None) -> SurfaceSample:
     """Material/texture half of the rchit stage (rchit:80-113), shared by
     the gather path and the kernel-resolve path."""
     base_factor = jnp.take(scene.mat_base_color, mat_id, axis=0)[:, :3]
@@ -121,7 +123,21 @@ def _material_surface(scene, mat_id, uv, world_pos, world_nrm, world_tag,
         normal_tex = jnp.take(scene.mat_normal_tex, mat_id)
         emis_tex = jnp.take(scene.mat_emissive_tex, mat_id)
 
-        if lod is None:
+        if uv_grads is not None:
+            # raster-analog pass with screen-space UV derivatives: 4x
+            # anisotropic trilinear (the reference's maxAnisotropy=4
+            # sampler, hello_vulkan.cpp:452-454)
+            from vkrt_tpu.ops.texture import sample_texture_aniso
+
+            ddx_uv, ddy_uv = uv_grads
+
+            def fetch(idx):
+                return sample_texture_aniso(
+                    scene.tex_mip_atlas, scene.tex_level_size,
+                    scene.tex_level_off, scene.tex_n_levels, idx, uv,
+                    ddx_uv, ddy_uv,
+                )
+        elif lod is None:
             def fetch(idx):
                 return sample_texture(scene.tex_rgba, scene.tex_size, idx, uv)
         else:

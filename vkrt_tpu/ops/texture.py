@@ -150,6 +150,40 @@ def sample_texture_lod(atlas, level_size, level_off, n_levels, tex_idx, uv, lod)
     return jnp.where((tex_idx >= 0)[:, None], c, 1.0)
 
 
+MAX_ANISO = 4.0  # the reference sampler's maxAnisotropy (hello_vulkan.cpp:452-454)
+
+
+def sample_texture_aniso(
+    atlas, level_size, level_off, n_levels, tex_idx, uv, ddx_uv, ddy_uv
+):
+    """4x anisotropic trilinear sample from screen-space UV derivatives.
+
+    The analog of the reference's anisotropyEnable/maxAnisotropy=4 sampler
+    (hello_vulkan.cpp:452-454), GL-style: the LOD comes from the MINOR
+    footprint axis (clamped so the ratio never exceeds MAX_ANISO) and four
+    taps march along the MAJOR axis to cover the rest of the footprint.
+    ``ddx_uv``/``ddy_uv``: (N,2) UV change per pixel step. At isotropic
+    footprints the taps collapse inside one texel and this degrades to
+    plain trilinear.
+    """
+    k = jnp.maximum(tex_idx, 0)
+    sz0 = level_size[k, 0].astype(jnp.float32)  # (N,2) level-0 (w,h)
+    px = jnp.sqrt(jnp.sum((ddx_uv * sz0) ** 2, axis=-1))
+    py = jnp.sqrt(jnp.sum((ddy_uv * sz0) ** 2, axis=-1))
+    pmax = jnp.maximum(px, py)
+    pmin = jnp.minimum(px, py)
+    pmin_eff = jnp.maximum(jnp.maximum(pmin, pmax / MAX_ANISO), 1e-9)
+    lod = jnp.log2(pmin_eff)
+    major = jnp.where((px >= py)[:, None], ddx_uv, ddy_uv)
+    acc = 0.0
+    for s in (-0.375, -0.125, 0.125, 0.375):
+        acc = acc + sample_texture_lod(
+            atlas, level_size, level_off, n_levels, tex_idx,
+            uv + major * s, lod,
+        )
+    return 0.25 * acc
+
+
 def build_mip_pyramid(image: np.ndarray):
     """Full mip chain by 2x2 box filter (cmdGenerateMipmaps equivalent,
     hello_vulkan.cpp:499). Host-side numpy; returns list level0..levelN."""
