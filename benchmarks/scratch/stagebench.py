@@ -46,7 +46,7 @@ def main():
     if which == "cornell":
         scene = scene_mod.load_cornell()
     else:
-        scene = scene_mod.make_city()
+        scene = scene_mod.make_city(grid=96)  # ~143k tris, the suite config
     pt = make_pallas_tracer(scene)
     print(f"scene {which}: {scene.num_tris} tris, resolve={pt.resolves_attrs}")
 

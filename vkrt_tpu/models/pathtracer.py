@@ -23,6 +23,7 @@ it (rgen:103-114).
 
 from __future__ import annotations
 
+import os
 from typing import NamedTuple
 
 import jax
@@ -87,6 +88,31 @@ def bounce_chain(
     # returns interpolated shading attributes and the gather-bound
     # surface_at_hit geometry pass disappears from the bounce loop.
     use_resolve = bool(getattr(tracer, "resolves_attrs", False))
+
+    # Fully-packed bounce loop: on untextured small-table scenes the ENTIRE
+    # shading stage runs as a Pallas kernel over the trace kernel's packed
+    # lane-dense layout — zero (N,3) XLA math per bounce (round-3 profiling:
+    # the XLA stage cost ~44 ms/bounce of layout-wasted VPU work even after
+    # the gathers were gone). See ops/pallas/shade.py.
+    from vkrt_tpu.ops.pallas.shade import (
+        bounce_chain_packed,
+        kernel_shading_available,
+    )
+
+    if (
+        depth - start_depth <= 8
+        and kernel_shading_available(scene, tracer)
+        and os.environ.get("VKRT_SHADE_KERNEL", "1") == "1"
+    ):
+        from vkrt_tpu.ops.intersect import T_MAX as _TMAX, T_MIN as _TMIN
+
+        return bounce_chain_packed(
+            scene, tracer, carry,
+            depth=depth, start_depth=start_depth, clear_color=clear_color,
+            hitdist_weight=hitdist_weight,
+            hitdist_accumulate=hitdist_accumulate,
+            clamp_weights=clamp_weights, t_min=_TMIN, t_max=_TMAX,
+        )
 
     def seeded(c: BounceCarry):
         # alpha-aware tracers draw punch-through RNG from the lane seeds

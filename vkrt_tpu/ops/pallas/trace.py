@@ -946,13 +946,12 @@ def _chunk_rows(packed, rows):
     return packed.reshape(-1, chunk, packed.shape[1]), chunk
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("n_levels", "t_min", "true_super", "interpret", "resolve"),
-)
-def _trace_call(cs: ClusterScene, orig, direction, t_lim, n_levels, t_min,
-                true_super, interpret, resolve=False):
-    packed, n, rows = _pack_rays(orig, direction, t_lim)
+def _packed_trace(cs: ClusterScene, packed, n_levels, t_min, true_super,
+                  interpret, resolve):
+    """Core chunked kernel launch: packed rays (R, 7*128) -> packed hit
+    blocks (R, out_cols*128). Shared by the (N,3) API and the fully-packed
+    bounce loop (ops.pallas.shade)."""
+    rows = packed.shape[0]
     chunks, chunk_rows = _chunk_rows(packed, rows)
     out_cols = OUT_COLS_RESOLVE if resolve else OUT_COLS_PLAIN
     ray_spec = pl.BlockSpec(
@@ -990,6 +989,29 @@ def _trace_call(cs: ClusterScene, orig, direction, t_lim, n_levels, t_min,
         return jax.lax.optimization_barrier(out)
 
     out = jax.lax.map(chunk_body, chunks).reshape(-1, out_cols * LANES)
+    return out[:rows]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_levels", "t_min", "true_super", "interpret", "resolve"),
+)
+def _trace_call_packed(cs: ClusterScene, packed, n_levels, t_min,
+                       true_super, interpret, resolve=True):
+    return _packed_trace(cs, packed, n_levels, t_min, true_super,
+                         interpret, resolve)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_levels", "t_min", "true_super", "interpret", "resolve"),
+)
+def _trace_call(cs: ClusterScene, orig, direction, t_lim, n_levels, t_min,
+                true_super, interpret, resolve=False):
+    packed, n, rows = _pack_rays(orig, direction, t_lim)
+    out_cols = OUT_COLS_RESOLVE if resolve else OUT_COLS_PLAIN
+    out = _packed_trace(cs, packed, n_levels, t_min, true_super, interpret,
+                        resolve)
 
     def col(k):
         return out[:, k * LANES : (k + 1) * LANES].reshape(-1)[:n]
@@ -1077,6 +1099,32 @@ class PallasTracer(NamedTuple):
         )
         hit, _, _, _, _ = self._call(orig, direction, t_min, t_lim)
         return hit
+
+    def closest_packed(self, rays_packed, t_min):
+        """Fully-packed closest trace with attribute resolve: rays as
+        (R, 7*128) [o|d|t_lim] blocks -> (R, OUT_COLS_RESOLVE*128) hit
+        blocks. The zero-unpack path used by the Pallas shade kernel
+        (ops.pallas.shade)."""
+        assert self.cs.attr_cols, "scene attribute tables not resident"
+        counts = self.cs.level_counts
+        true_super = counts[-2] if len(counts) > 1 else counts[-1]
+        return _trace_call_packed(
+            self.cs, rays_packed, len(counts), float(t_min), true_super,
+            self.interpret, resolve=True,
+        )
+
+    def closest_packed_plain(self, rays_packed, t_min):
+        """Packed trace WITHOUT attribute resolve: (R, 7*128) rays ->
+        (R, OUT_COLS_PLAIN*128) [t|idx|u|v]. Shadow/visibility pools use
+        this — resolve's per-visit tile machinery (26 attr tiles + winner
+        interpolation) measured 2x the whole plain traversal on incoherent
+        pools, and a shadow verdict only reads idx >= 0."""
+        counts = self.cs.level_counts
+        true_super = counts[-2] if len(counts) > 1 else counts[-1]
+        return _trace_call_packed(
+            self.cs, rays_packed, len(counts), float(t_min), true_super,
+            self.interpret, resolve=False,
+        )
 
 
 def make_pallas_tracer(scene, interpret: bool = None) -> PallasTracer:
