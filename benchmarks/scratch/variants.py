@@ -23,48 +23,7 @@ LANES, BLOCK_ROWS, FANOUT, CLUSTER, GROUP = (
     T.LANES, T.BLOCK_ROWS, T.FANOUT, T.CLUSTER, T.GROUP)
 
 
-def pack_prepivot(tri_cols):
-    """Repack 9 row-major (T_pad//128, 128) component tables into the
-    PRE-PIVOTED cluster-block layout: tile row t*8+s, lane (c%16)*8+g holds
-    triangle c*64 + g*8 + s (member s in SUBLANES, group g in lanes). A
-    cluster's 8 (8,1) MT group columns then come from ONE dynamic sublane
-    read + ONE lane rotation + static width-1 lane slices — replacing the
-    72 (1,8)->(8,1) shape-cast pivots per visit of _cluster_tiles. Same
-    bytes, same VMEM."""
-    out = []
-    for colarr in tri_cols:
-        flat = np.asarray(colarr).reshape(-1)
-        n_c = flat.size // 64
-        a = flat.reshape(n_c, 8, 8)            # (c, g, s)
-        a = a.transpose(0, 2, 1)               # (c, s, g)
-        pad = (-n_c) % 16
-        if pad:
-            a = np.concatenate([a, np.zeros((pad, 8, 8), a.dtype)])
-        a = a.reshape(-1, 16, 8, 8)            # (t, ci, s, g)
-        a = a.transpose(0, 2, 1, 3).reshape(-1, 128)
-        out.append(jnp.asarray(a))
-    return tuple(out)
-
-
-def _cluster_tiles_pp(pp_refs, c):
-    """Pre-pivoted extraction: (8,128) dynamic sublane read + dynamic lane
-    rotation, then static (8,1) slices per group."""
-    t = c // 16
-    lane_off = (c % 16) * 8
-    tiles = []
-    for r in pp_refs:
-        blk = r[pl.ds(t * 8, 8), :]
-        blk = pltpu.roll(blk, (128 - lane_off) % 128, 1)
-        tiles.append([blk[:, g : g + 1] for g in range(8)])
-    return tiles
-
-
 def make_kernel(variant, n_levels, t_min, true_super=0):
-    pp = variant.startswith("pp")
-    if pp:
-        variant = variant[2:]
-        assert CLUSTER == 64, "pp layout assumes 64-tri clusters"
-
     def kernel(*refs):
         L = n_levels
         aabb_refs = refs[0:L]
@@ -89,8 +48,7 @@ def make_kernel(variant, n_levels, t_min, true_super=0):
             [tm, neg1, jnp.zeros((BLOCK_ROWS, 2 * LANES), jnp.float32)], axis=1)
 
         def cluster_work(c):
-            tiles = (_cluster_tiles_pp(tri_refs, c) if pp
-                     else T._cluster_tiles(tri_refs, c))
+            tiles = T._cluster_tiles(tri_refs, c)
             for row in range(BLOCK_ROWS):
                 oxr = ox[row:row + 1]; oyr = oy[row:row + 1]; ozr = oz[row:row + 1]
                 dxr = dx[row:row + 1]; dyr = dy[row:row + 1]; dzr = dz[row:row + 1]
@@ -250,8 +208,6 @@ def make_kernel(variant, n_levels, t_min, true_super=0):
 def make_call(cs, variant):
     n_levels = len(cs.level_counts)
     kernel = make_kernel(variant, n_levels, T_MIN, true_super=cs.level_counts[-2])
-    tri_cols = (pack_prepivot(cs.tri_cols) if variant.startswith("pp")
-                else cs.tri_cols)
 
     def call(orig, direction):
         t_lim = jnp.full(orig.shape[:1], T_MAX, jnp.float32)
@@ -266,7 +222,7 @@ def make_call(cs, variant):
                 in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * (2 * n_levels + 9) + [ray_spec],
                 out_specs=out_spec,
                 out_shape=jax.ShapeDtypeStruct((chunk_rows, 4 * LANES), jnp.float32),
-            )(*cs.level_aabb, *cs.level_order, *tri_cols, chunk)
+            )(*cs.level_aabb, *cs.level_order, *cs.tri_cols, chunk)
             return jax.lax.optimization_barrier(out)
         out = jax.lax.map(chunk_body, chunks).reshape(-1, 4 * LANES)
         return out[:, 0:LANES].reshape(-1)[:n]

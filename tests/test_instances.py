@@ -165,8 +165,8 @@ def test_refit_cost_scales_with_subset():
     # normals, so compare the position-dependent material/uv layout rows via
     # the geometry instead: attr rows for dirty clusters were rewritten)
     if cs.attr_cols:
-        from vkrt_tpu.ops.pallas.trace import LANES
-        rows_dirty = dirty.reshape(-1, LANES // CLUSTER).any(axis=1)
+        from vkrt_tpu.ops.pallas.trace import _dirty_rows
+        rows_dirty = _dirty_rows(dirty)
         for old, new in zip(cs.attr_cols, cs2.attr_cols):
             np.testing.assert_array_equal(
                 np.asarray(old)[~rows_dirty], np.asarray(new)[~rows_dirty]

@@ -30,6 +30,7 @@ draws untouched preserves all existing goldens for opaque scenes.
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from vkrt_tpu.ops.rng import tea, rnd
@@ -89,7 +90,7 @@ def alpha_closest(scene, tracer, orig, direction, t_min, t_max, t_lim, seed,
     # re-drawing settled lanes each round would compound the punch probability
     unsettled = jnp.ones((n,), bool)
 
-    for r in range(rounds):
+    def punch_round(r, hi, unsettled):
         a = opacity_at_hit(scene, jnp.maximum(hi.tri, 0), hi.u, hi.v)
         # decorrelated per-(lane, round) uniform draw
         bits = tea(seed ^ jnp.uint32(0x61706861), jnp.uint32(r + 1), rounds=8)
@@ -118,7 +119,19 @@ def alpha_closest(scene, tracer, orig, direction, t_min, t_max, t_lim, seed,
             u=jnp.where(punch, hi2.u, hi.u),
             v=jnp.where(punch, hi2.v, hi.v),
         )
-        unsettled = punch  # only re-traced lanes have an undecided hit
+        return hi, punch  # only re-traced lanes have an undecided hit
+
+    hi, unsettled = punch_round(0, hi, unsettled)
+    for r in range(1, rounds):
+        # rounds after the first are usually no-ops (most pools punch zero
+        # or one layer); lax.cond skips the re-trace launch + opacity
+        # gathers entirely once every lane has settled
+        hi, unsettled = jax.lax.cond(
+            jnp.any(unsettled),
+            lambda h, s, r=r: punch_round(r, h, s),
+            lambda h, s: (h, jnp.zeros_like(s)),
+            hi, unsettled,
+        )
     return hi
 
 

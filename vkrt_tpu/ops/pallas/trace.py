@@ -255,6 +255,36 @@ def _attrs_fit_budget(t_pad: int) -> bool:
     return 4 * t_pad * (9 + ATTR_TABLES) <= ATTR_VMEM_BUDGET
 
 
+# Pre-pivoted component layout (CLUSTER=64 only): tile row (c//16)*8 + s,
+# lane (c%16)*8 + g holds packed slot c*64 + g*8 + s (group member s in
+# SUBLANES, group g in lanes). A cluster's 8 (8,1) Möller-Trumbore group
+# columns then come from ONE dynamic sublane read + ONE dynamic lane
+# rotation + static width-1 lane slices, replacing the 8 (1,8)->(8,1)
+# shape-cast pivots per table per visit of the row-major layout (72
+# pivots/visit plain, ~280 with attribute resolve — measured 21% of
+# dynamic-visit cost on geometry alone, benchmarks/scratch/variants.py
+# bit16 25.1 -> ppbit16 19.7 ms). Same bytes, same VMEM.
+_PP = CLUSTER == 64
+
+
+def _layout_col(flat: np.ndarray) -> np.ndarray:
+    """(T_pad,) packed-slot-order component -> device table layout."""
+    if not _PP:
+        return flat.reshape(-1, LANES)
+    n_c = flat.size // CLUSTER
+    a = flat.reshape(n_c, 8, 8).transpose(0, 2, 1)          # (c, s, g)
+    a = a.reshape(-1, FANOUT, 8, 8).transpose(0, 2, 1, 3)   # (t, s, ci, g)
+    return np.ascontiguousarray(a.reshape(-1, LANES))
+
+
+def _dirty_rows(dirty_clusters: np.ndarray) -> np.ndarray:
+    """Cluster dirty mask -> device-table row dirty mask (layout-aware)."""
+    if not _PP:
+        return dirty_clusters.reshape(-1, LANES // CLUSTER).any(axis=1)
+    tile_dirty = dirty_clusters.reshape(-1, FANOUT).any(axis=1)
+    return np.repeat(tile_dirty, 8)
+
+
 def _pack_attr_cols(tri_order, attrs) -> tuple:
     """Pack per-corner attributes into 26 delta-form column tables (see
     ATTR_TABLES for the layout), reordered by the packed slot order."""
@@ -279,8 +309,9 @@ def _pack_attr_cols(tri_order, attrs) -> tuple:
     srcs.append(tm)
     assert len(srcs) == ATTR_TABLES
     return tuple(
-        jnp.asarray(np.where(valid, s[safe], 0.0).astype(np.float32)
-                    .reshape(-1, 128))
+        jnp.asarray(_layout_col(
+            np.where(valid, s[safe], 0.0).astype(np.float32)
+        ))
         for s in srcs
     )
 
@@ -295,7 +326,7 @@ def _pack_cluster_scene(tri_v0, tri_e1, tri_e2, tri_order, cluster_aabb,
 
     def col(a, j):
         out = np.where(valid, a[safe, j], 0.0).astype(np.float32)
-        return jnp.asarray(out.reshape(-1, 128))
+        return jnp.asarray(_layout_col(out))
 
     tri_cols = tuple(col(a, j) for a in (v0, e1, e2) for j in range(3))
     level_aabb, level_order, counts = _build_levels(
@@ -425,17 +456,17 @@ def refit_cluster_scene(cs: ClusterScene, tri_v0, tri_e1, tri_e2,
     if not dirty.any():
         return cs
 
-    # update packed triangle columns for dirty clusters only (row
-    # granularity: a (…,128) row covers LANES//CLUSTER clusters; update rows
-    # overlapping dirty clusters)
-    rows_dirty = dirty.reshape(-1, LANES // CLUSTER).any(axis=1)  # (rows,)
+    # update packed triangle columns for dirty clusters only (device-table
+    # row granularity, layout-aware: pre-pivoted tables dirty 8 rows per
+    # 16-cluster tile, row-major tables LANES//CLUSTER clusters per row)
+    rows_dirty = _dirty_rows(dirty)
     new_cols = []
     comps = [(v0, 0), (v0, 1), (v0, 2), (e1, 0), (e1, 1), (e1, 2),
              (e2, 0), (e2, 1), (e2, 2)]
     r_idx = np.nonzero(rows_dirty)[0]
     for (a, j), colarr in zip(comps, cs.tri_cols):
         fresh = np.where(valid, a[safe, j], 0.0).astype(np.float32)
-        fresh = fresh.reshape(-1, 128)
+        fresh = _layout_col(fresh)
         colarr = jnp.asarray(colarr).at[r_idx].set(jnp.asarray(fresh[r_idx]))
         new_cols.append(colarr)
 
@@ -521,13 +552,26 @@ def _slab_vote(aabb_ref, idx, ox, oy, oz, ix, iy, iz, t_min, t_lim):
 
 
 def _cluster_tiles(tri_refs, c):
-    """Extract cluster c's triangle components as 9 lists of (8, 1) group
-    columns. A cluster's slots occupy a half (CLUSTER=64) or quarter
-    (CLUSTER=32) of one packed (.., 128) row: load the row, select the
-    piece by scalar predicates on the cluster index, then cut static (1, 8)
-    group slices and pivot each to a sublane column — the only shape cast
-    Mosaic supports here ((1,64)->(8,8) reshapes and dynamic lane slicing
-    are rejected / crash the compile helper)."""
+    """Extract cluster c's triangle components as lists of (8, 1) group
+    columns, one list per table.
+
+    CLUSTER=64 (production): tables are PRE-PIVOTED (see _layout_col) — one
+    dynamic sublane read of the cluster's (8, 128) tile, one dynamic lane
+    rotation to bring its 8 lanes to the front, then static width-1 lane
+    slices. No shape casts.
+
+    CLUSTER=32 (sweep knob): row-major tables — load the row, select the
+    piece by scalar predicates, then cut static (1, 8) group slices and
+    pivot each to a sublane column ((1,64)->(8,8) reshapes and dynamic
+    lane slicing are rejected / crash the compile helper)."""
+    if _PP:
+        t8 = (c // FANOUT) * 8
+        shift = (LANES - (c % FANOUT) * 8) % LANES
+        tiles = []
+        for r in tri_refs:
+            blk = pltpu.roll(r[pl.ds(t8, 8), :], shift, 1)
+            tiles.append([blk[:, g : g + 1] for g in range(CLUSTER // GROUP)])
+        return tiles
     per_row = LANES // CLUSTER
     row = c // per_row
     tiles = []
