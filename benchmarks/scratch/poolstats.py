@@ -50,6 +50,36 @@ def pools(scene, pt, w, h, depth):
          act, act, act, zeros, zeros, zeros, act, zeros, zeros, zeros,
          zeros, zeros, zeros, zeros], n)
     out_pools = [("primary", ray)]
+    if not pt.resolves_attrs:
+        # textured / over-budget scenes run the XLA bounce path in
+        # production; evolve the pools the same way (surface_at_hit +
+        # sample_bsdf on the plain trace results)
+        from vkrt_tpu.models.shading import sample_bsdf, surface_at_hit
+
+        o, di, sd = origin, direction, seeds
+        active = jnp.ones((n,), bool)
+        for d in range(depth):
+            hi = pt.closest(o, di, T_MIN, T_MAX,
+                            t_lim=jnp.where(active, T_MAX, -1.0))
+            miss = ~hi.hit & active | ~active
+            surf = surface_at_hit(scene, jnp.maximum(hi.tri, 0), hi.u, hi.v, di)
+            bs = sample_bsdf(scene, surf, di, sd, (d == 0) | jnp.zeros((n,), bool))
+            do_shadow = active & ~miss & ~bs.is_specular
+            sh_o = jnp.where(do_shadow[:, None], surf.world_pos, 1e30)
+            sh_d = jnp.where(do_shadow[:, None], bs.shadow_dir, 0.0)
+            sh_l = jnp.where(do_shadow, jnp.maximum(bs.light_dist - 0.1, T_MIN), -1.0)
+            out_pools.append((f"shadow d={d}", sh.pack_lanes(
+                [sh_o[:, 0], sh_o[:, 1], sh_o[:, 2],
+                 sh_d[:, 0], sh_d[:, 1], sh_d[:, 2], sh_l], n)))
+            active = active & ~miss
+            o = jnp.where(active[:, None], surf.world_pos, 1e30)
+            di = jnp.where(active[:, None], bs.next_dir, 0.0)
+            sd = bs.seed
+            if d < depth - 1:
+                out_pools.append((f"bounce d={d + 1}", sh.pack_lanes(
+                    [o[:, 0], o[:, 1], o[:, 2], di[:, 0], di[:, 1], di[:, 2],
+                     jnp.where(active, T_MAX, -1.0)], n)))
+        return out_pools
     first = True
     out_sh = None
     for d in range(depth):

@@ -66,8 +66,9 @@ def main():
         if label == "primary":
             continue
         # bounce pools go through the resolve trace in production, shadow
-        # pools through the plain trace
-        t_fn = trp_sum if label.startswith("shadow") else tr_sum
+        # pools through the plain trace (non-resolve scenes: plain for both)
+        t_fn = (trp_sum if label.startswith("shadow")
+                or not pt.resolves_attrs else tr_sum)
         p = np.asarray(packed)
         cols = [p[:, k * LANES:(k + 1) * LANES].ravel() for k in range(7)]
         o = np.stack(cols[0:3], axis=-1)

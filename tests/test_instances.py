@@ -202,3 +202,32 @@ def test_engine_set_node_transform():
         img_after[:, :20], img_before[:, :20], atol=1e-6
     )
     assert np.abs(img_after[:, 28:] - img_before[:, 28:]).max() > 1e-3
+
+
+def test_engine_repose_no_retrace_with_pallas():
+    """Pose animation viability: with the production Pallas tracer the
+    frame step takes scene/tracer arrays as jit ARGUMENTS, so a re-pose
+    must not retrace or recompile the step (the per-frame TLAS-update
+    analog, hello_vulkan.cpp:1031-1047). A retrace would cost seconds per
+    pose; refit cost alone scales with the moved subset."""
+    from vkrt_tpu.config import RenderSettings
+    from vkrt_tpu.engine import Engine
+    from vkrt_tpu.utils.camera import Camera
+
+    inst = build_instanced(_doc())
+    cam = Camera(eye=np.array([0, 0, 12.0]), center=np.zeros(3),
+                 up=np.array([0, 1, 0.0]))
+    e = Engine(inst, 48, 32, RenderSettings(rt_mode=1, samples=1, depth=1,
+                                            backend="pallas"), cam)
+    assert e._pose_stable
+    img_before = np.asarray(e.render_frame()).reshape(32, 48, 3)
+    n_traces = e._step._cache_size()
+
+    e.set_node_transform(1, _translate(3, 0, -40))
+    img_after = np.asarray(e.render_frame()).reshape(32, 48, 3)
+    assert e._step._cache_size() == n_traces  # no retrace on re-pose
+
+    np.testing.assert_allclose(
+        img_after[:, :20], img_before[:, :20], atol=1e-6
+    )
+    assert np.abs(img_after[:, 28:] - img_before[:, 28:]).max() > 1e-3

@@ -27,7 +27,8 @@ def test_cluster_scene_structure(box):
     cs = build_cluster_scene(box.tri_v0, box.tri_e1, box.tri_e2)
     assert cs.n_clusters % 16 == 0
     # packed layout: lane dim fully used (128 slots per row)
-    assert cs.tri_cols[0].shape == (cs.n_clusters * 64 // 128, 128)
+    from vkrt_tpu.ops.pallas.trace import CLUSTER
+    assert cs.tri_cols[0].shape == (cs.n_clusters * CLUSTER // 128, 128)
     # every real triangle appears exactly once in the remap prefix
     remap = np.asarray(cs.tri_remap)
     aabb = np.asarray(cs.cluster_aabb)
@@ -169,7 +170,8 @@ def test_pallas_multilevel_scan(rng):
     """A scene big enough for a 3-deep level stack (>256 clusters) exercises
     the super-word scan AND the top-level early-out block cull — the paths a
     small fixture (L=1) never reaches."""
-    soup = make_random_soup(17000, seed=11)
+    from vkrt_tpu.ops.pallas.trace import CLUSTER
+    soup = make_random_soup(270 * CLUSTER, seed=11)  # >256 clusters at any size
     cs = build_cluster_scene(soup.tri_v0, soup.tri_e1, soup.tri_e2)
     assert len(cs.level_counts) >= 3, cs.level_counts
     pt = make_pallas_tracer(soup, interpret=True)

@@ -101,15 +101,29 @@ class Engine:
             self.denoise_state = None
 
     def _build_jits(self):
+        from vkrt_tpu.ops.pallas.trace import PallasTracer, tracer_with_arrays
+
         s = self.settings
         pix, pid = self._pix, self._pid
+        # Pose-stable stepping: scene + tracer ARRAYS are jit arguments
+        # (stable treedef/avals across re-poses — set_node_transform then
+        # never retraces the step; only values change), while the tracer's
+        # static config rides in the closure as a prototype. Non-Pallas
+        # backends keep closure capture and rebuild on re-pose.
+        self._pose_stable = isinstance(self.tracer, PallasTracer)
+        proto = self.tracer
+
+        def tr(tr_arrs):
+            return tracer_with_arrays(proto, tr_arrs) if self._pose_stable \
+                else self.tracer
+
         if s.rt_mode == 1:
-            def path_step(cam, frame, accum, clear_color):
+            def path_step(scene, tr_arrs, cam, frame, accum, clear_color):
                 # per-pixel seeds by ORIGINAL pixel id: radiance per pixel is
                 # bit-identical to scanline order (layout is a pure permute)
                 seeds = tea(pid, jnp.uint32(frame))
                 return pathtrace_frame(
-                    self.scene, self.tracer, cam, frame, accum, clear_color,
+                    scene, tr(tr_arrs), cam, frame, accum, clear_color,
                     width=self.width, height=self.height,
                     samples=s.samples, depth=s.depth,
                     clamp_weights=s.clamp_weights, pix=pix, seeds=seeds,
@@ -117,10 +131,11 @@ class Engine:
 
             self._step = jax.jit(path_step)
         else:
-            def hybrid_step(cam, frame, accum_rt, clear_color, denoise_state):
+            def hybrid_step(scene, tr_arrs, cam, frame, accum_rt, clear_color,
+                            denoise_state):
                 seeds = tea(pid, jnp.uint32(frame))
                 return hybrid_frame(
-                    self.scene, self.tracer, cam, frame, accum_rt, clear_color,
+                    scene, tr(tr_arrs), cam, frame, accum_rt, clear_color,
                     width=self.width, height=self.height, depth=s.depth,
                     use_shadows=s.use_shadows, use_ao=s.use_ao,
                     use_gi=s.use_gi, use_denoiser=s.use_denoiser,
@@ -130,6 +145,15 @@ class Engine:
                 )
 
             self._step = jax.jit(hybrid_step)
+
+    def _step_args(self):
+        """(scene, tracer-arrays) leading arguments for self._step."""
+        from vkrt_tpu.ops.pallas.trace import tracer_arrays
+
+        return (
+            self.scene,
+            tracer_arrays(self.tracer) if self._pose_stable else None,
+        )
 
     def reset_frame(self):
         """hello_vulkan.cpp:1501-1504."""
@@ -174,8 +198,11 @@ class Engine:
         scales with the moved subset — no full SAH rebuild). Requires the
         engine to have been built from an InstancedScene.
 
-        The frame step retraces (the scene is closure-captured) but its HLO
-        is pose-independent, so the persistent XLA cache serves the compile.
+        With the production Pallas tracer this is frame-loop-viable: the
+        scene and tracer arrays are jit ARGUMENTS of the step (stable
+        treedef/avals across poses), so no retrace and no recompile happen
+        — only the refit cost, which scales with the moved subset. Oracle
+        backends (closure-captured) rebuild the step as before.
         """
         if self.instances is None:
             raise ValueError(
@@ -187,7 +214,8 @@ class Engine:
         self.instances, moved = si.repose(self.instances, prim_idx, world_matrix)
         self.scene = self.instances.scene
         self.tracer = si.repose_tracer(self.tracer, self.instances, moved)
-        self._build_jits()
+        if not self._pose_stable:
+            self._build_jits()  # closure-captured backend: must retrace
         self.reset_frame()  # geometry changed: restart accumulation
 
     def resize(self, width: int, height: int):
@@ -217,7 +245,8 @@ class Engine:
                 # equivalent (hello_vulkan.cpp:1432-1447)
                 with pass_label("pathtrace"):
                     self.accum, rays = self._step(
-                        cam, self.frame, self.accum, self.clear_color
+                        *self._step_args(),
+                        cam, self.frame, self.accum, self.clear_color,
                     )
                 self._total_rays = self._total_rays + rays
             out = post_mod.composite(
@@ -231,6 +260,7 @@ class Engine:
             with pass_label("hybrid"):  # (hello_vulkan.cpp:587/1459 labels)
                 self.gbuffer, self.accum_rt, rays, self.denoise_state = (
                     self._step(
+                        *self._step_args(),
                         cam, self.frame, self.accum_rt, self.clear_color,
                         self.denoise_state,
                     )

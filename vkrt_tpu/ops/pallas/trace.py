@@ -55,7 +55,7 @@ import os
 # Möller-Trumbore work per voted cluster at ~2x the cluster count). Env
 # override for measurement sweeps (benchmarks/scratch).
 CLUSTER = int(os.environ.get("VKRT_CLUSTER", "64"))
-assert CLUSTER in (32, 64), CLUSTER
+assert CLUSTER in (32, 64, 128), CLUSTER
 GROUP = 8             # triangles per inner vector step (sublane dim)
 FANOUT = 16           # tree fanout = boxes per vote word
 # ray rows per program -> BLOCK_ROWS*128 rays per block. Bigger blocks
@@ -264,7 +264,9 @@ def _attrs_fit_budget(t_pad: int) -> bool:
 # pivots/visit plain, ~280 with attribute resolve — measured 21% of
 # dynamic-visit cost on geometry alone, benchmarks/scratch/variants.py
 # bit16 25.1 -> ppbit16 19.7 ms). Same bytes, same VMEM.
-_PP = CLUSTER == 64
+_PP = CLUSTER in (64, 128)
+_GPC = CLUSTER // GROUP      # MT groups per cluster (lanes per cluster)
+_CPT = LANES // _GPC         # clusters per (8,128) tile
 
 
 def _layout_col(flat: np.ndarray) -> np.ndarray:
@@ -272,8 +274,8 @@ def _layout_col(flat: np.ndarray) -> np.ndarray:
     if not _PP:
         return flat.reshape(-1, LANES)
     n_c = flat.size // CLUSTER
-    a = flat.reshape(n_c, 8, 8).transpose(0, 2, 1)          # (c, s, g)
-    a = a.reshape(-1, FANOUT, 8, 8).transpose(0, 2, 1, 3)   # (t, s, ci, g)
+    a = flat.reshape(n_c, _GPC, 8).transpose(0, 2, 1)        # (c, s, g)
+    a = a.reshape(-1, _CPT, 8, _GPC).transpose(0, 2, 1, 3)   # (t, s, ci, g)
     return np.ascontiguousarray(a.reshape(-1, LANES))
 
 
@@ -281,7 +283,7 @@ def _dirty_rows(dirty_clusters: np.ndarray) -> np.ndarray:
     """Cluster dirty mask -> device-table row dirty mask (layout-aware)."""
     if not _PP:
         return dirty_clusters.reshape(-1, LANES // CLUSTER).any(axis=1)
-    tile_dirty = dirty_clusters.reshape(-1, FANOUT).any(axis=1)
+    tile_dirty = dirty_clusters.reshape(-1, _CPT).any(axis=1)
     return np.repeat(tile_dirty, 8)
 
 
@@ -565,12 +567,12 @@ def _cluster_tiles(tri_refs, c):
     pivot each to a sublane column ((1,64)->(8,8) reshapes and dynamic
     lane slicing are rejected / crash the compile helper)."""
     if _PP:
-        t8 = (c // FANOUT) * 8
-        shift = (LANES - (c % FANOUT) * 8) % LANES
+        t8 = (c // _CPT) * 8
+        shift = (LANES - (c % _CPT) * _GPC) % LANES
         tiles = []
         for r in tri_refs:
             blk = pltpu.roll(r[pl.ds(t8, 8), :], shift, 1)
-            tiles.append([blk[:, g : g + 1] for g in range(CLUSTER // GROUP)])
+            tiles.append([blk[:, g : g + 1] for g in range(_GPC)])
         return tiles
     per_row = LANES // CLUSTER
     row = c // per_row
@@ -1169,6 +1171,31 @@ class PallasTracer(NamedTuple):
             self.cs, rays_packed, len(counts), float(t_min), true_super,
             self.interpret, resolve=False,
         )
+
+
+def tracer_arrays(pt: PallasTracer):
+    """The tracer's device arrays as one pytree (all-jnp leaves).
+
+    Pose animation support: a jitted frame step that takes this pytree as
+    an ARGUMENT (static config stays in the closure via the tracer
+    prototype) keeps a stable treedef/avals across re-poses, so
+    ``engine.set_node_transform`` never retraces — the TLAS-update analog
+    becomes frame-loop-viable (the reference re-records the instance
+    buffer per pose, hello_vulkan.cpp:1031-1047)."""
+    cs = pt.cs
+    return (cs.tri_cols, cs.level_aabb, cs.level_order, cs.cluster_aabb,
+            cs.tri_remap, cs.sup_oct_aabb, cs.sup_oct_id, cs.attr_cols)
+
+
+def tracer_with_arrays(proto: PallasTracer, arrs) -> PallasTracer:
+    """Rebind a tracer prototype's static config to fresh device arrays
+    (inverse of ``tracer_arrays``; shapes/treedef must match)."""
+    cs = proto.cs._replace(
+        tri_cols=tuple(arrs[0]), level_aabb=tuple(arrs[1]),
+        level_order=tuple(arrs[2]), cluster_aabb=arrs[3], tri_remap=arrs[4],
+        sup_oct_aabb=arrs[5], sup_oct_id=arrs[6], attr_cols=tuple(arrs[7]),
+    )
+    return proto._replace(cs=cs)
 
 
 def make_pallas_tracer(scene, interpret: bool = None) -> PallasTracer:
