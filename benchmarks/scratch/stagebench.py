@@ -31,7 +31,13 @@ from vkrt_tpu.utils.camera import Camera, generate_rays, pixel_coords, tile_perm
 
 
 def timeit(fn, iters=8):
-    jax.device_get(fn())
+    """Every timed fn MUST return a small array: device_get through the
+    axon tunnel moves ~24 MB/s, so pulling an (N,) or (N,3) output adds
+    19-57 ms of pure transfer to the reading (this bug inflated round-2's
+    "111 ms/bounce shading" number; the real stage is ~5 ms)."""
+    out = fn()
+    assert out.size <= 16, "reduce outputs inside jit before timing"
+    jax.device_get(out)
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn()
@@ -62,14 +68,14 @@ def main():
     @jax.jit
     def prim_plain():
         hi = pt.closest(origin, direction, T_MIN, T_MAX)
-        return hi.t
+        return jnp.sum(hi.t)
 
     print(f"primary trace (plain) : {timeit(prim_plain):8.1f} ms")
     if pt.resolves_attrs:
         @jax.jit
         def prim_res():
             hi, at = pt.closest_surface(origin, direction, T_MIN, T_MAX)
-            return hi.t + at.pos[:, 0]
+            return jnp.sum(hi.t) + jnp.sum(at.pos[:, 0])
 
         print(f"primary trace (resolve): {timeit(prim_res):8.1f} ms")
 
@@ -86,14 +92,14 @@ def main():
         surf = surface_at_hit(scene, tri, hi.u, hi.v, direction)
         bs = sample_bsdf(scene, surf, direction, seeds,
                          jnp.ones((n,), bool))
-        return bs.weight + bs.emit_plus_nee
+        return jnp.sum(bs.weight) + jnp.sum(bs.emit_plus_nee)
 
     print(f"shade (gather+bsdf)   : {timeit(shade_gather):8.1f} ms")
 
     @jax.jit
     def shade_surface_only():
         surf = surface_at_hit(scene, tri, hi.u, hi.v, direction)
-        return surf.shading_normal + surf.base_color
+        return jnp.sum(surf.shading_normal) + jnp.sum(surf.base_color)
 
     print(f"  surface_at_hit only : {timeit(shade_surface_only):8.1f} ms")
 
@@ -110,7 +116,7 @@ def main():
         @jax.jit
         def shade_resolve_surf():
             surf = surface_from_attrs(scene, at)
-            return surf.shading_normal + surf.base_color
+            return jnp.sum(surf.shading_normal) + jnp.sum(surf.base_color)
 
         print(f"  surface_from_attrs  : {timeit(shade_resolve_surf):8.1f} ms")
 
@@ -120,10 +126,10 @@ def main():
     prev = None
     for depth in (1, 2, 3):
         f = jax.jit(
-            lambda d=depth: pathtrace_frame(
+            lambda d=depth: jnp.sum(pathtrace_frame(
                 scene, pt, cam, 1, accum, clear, width=w, height=h,
                 samples=1, depth=d, pix=pix, seeds=seeds,
-            )[0]
+            )[0])
         )
         ms = timeit(f, iters=4)
         extra = "" if prev is None else f"  (+{ms - prev:.1f} marginal)"

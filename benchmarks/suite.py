@@ -58,12 +58,63 @@ def run_engine_bench(name, scene, settings, width, height, frames, camera_fn=Non
     return rec
 
 
+def run_sharded_bench(name, scene, width, height, frames, depth):
+    """Sharded smoke config: the production Pallas tracer under shard_map
+    over a (tile, spp) device mesh — on a single real chip this is the
+    mesh(1,1) hardware validation of the SPMD path (real pallas_call inside
+    shard_map, not interpret mode); on N devices it scales the tile axis."""
+    import jax
+    import jax.numpy as jnp
+
+    from vkrt_tpu.ops.trace import make_tracer
+    from vkrt_tpu.parallel.mesh import factor_mesh, make_render_mesh
+    from vkrt_tpu.parallel.render import (
+        device_put_accum,
+        make_sharded_pathtrace_step,
+    )
+    from vkrt_tpu.utils.camera import Camera
+
+    n_tile, n_spp = factor_mesh(jax.device_count())
+    mesh = make_render_mesh(n_tile=n_tile, n_spp=n_spp)
+    tracer = make_tracer(scene, "auto")
+    step = make_sharded_pathtrace_step(
+        scene, tracer, mesh, width=width, height=height,
+        samples=n_spp, depth=depth,
+    )
+    cam = Camera().matrices(width, height)
+    clear = jnp.asarray([1.0, 1.0, 1.0, 1.0], jnp.float32)
+    accum = device_put_accum(mesh, width, height)
+    accum, rays = step(cam, 0, accum, clear)  # compile + warm
+    jax.block_until_ready(accum)
+    _ = float(rays)
+
+    accum = device_put_accum(mesh, width, height)
+    total_rays = 0.0
+    t0 = time.time()
+    for f in range(frames):
+        accum, rays = step(cam, f, accum, clear)
+    total_rays = float(rays) * frames  # rays/frame is constant per config
+    _ = jax.device_get(accum.sum())
+    dt = time.time() - t0
+    rec = {
+        "config": name,
+        "mesh": f"tile={n_tile},spp={n_spp}",
+        "ms_per_frame": round(dt / frames * 1e3, 2),
+        "fps": round(frames / dt, 2),
+        "mrays_per_s": round(total_rays / dt / 1e6, 2),
+        "frames": frames,
+        "resolution": f"{width}x{height}",
+    }
+    print(json.dumps(rec), flush=True)
+    return rec
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--width", type=int, default=1280)
     p.add_argument("--height", type=int, default=720)
     p.add_argument("--frames", type=int, default=8)
-    p.add_argument("--configs", type=str, default="1,2,3,4,5")
+    p.add_argument("--configs", type=str, default="1,2,3,4,5,6")
     args = p.parse_args(argv)
 
     from vkrt_tpu.utils.jaxcache import enable
@@ -114,6 +165,11 @@ def main(argv=None):
                 w, h, n,
                 camera_fn=lambda t: orbit_camera(t, radius=300, height=48),
             ))
+    if "6" in wanted:
+        cornell = load_cornell()
+        results.append(run_sharded_bench(
+            "cornell_sharded_mesh", cornell, w, h, n, depth=3,
+        ))
     return results
 
 
