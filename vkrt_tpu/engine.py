@@ -110,7 +110,12 @@ class Engine:
         # never retraces the step; only values change), while the tracer's
         # static config rides in the closure as a prototype. Non-Pallas
         # backends keep closure capture and rebuild on re-pose.
-        self._pose_stable = isinstance(self.tracer, PallasTracer)
+        import os
+
+        self._pose_stable = (
+            isinstance(self.tracer, PallasTracer)
+            and os.environ.get("VKRT_POSE_STABLE", "1") == "1"
+        )
         proto = self.tracer
 
         def tr(tr_arrs):

@@ -100,6 +100,15 @@ ATTR_VMEM_BUDGET = int(os.environ.get("VKRT_ATTR_BUDGET", str(12 * 2**20)))
 # as the only overhead.
 ROW_GATE = os.environ.get("VKRT_ROW_GATE", "1") == "1"
 
+# Incremental near-to-far cluster votes: vote each voted super's 16
+# clusters in TWO 8-slot halves along the block-dominant-octant distance
+# permutation (the level_order tables), re-reading the tightened t between
+# halves — near hits collapse the far half's votes before they are taken.
+# Costs one extra vector->scalar sync + dynamic 4-bit slot decode per
+# super; pays on incoherent pools where visits approach whole-super
+# granularity (city d=1 bounce pools: 510 visits/block measured).
+INC_VOTE = os.environ.get("VKRT_INC_VOTE", "0") == "1"
+
 
 class ClusterScene(NamedTuple):
     """Triangle + vote-tree data packed for the kernel (host-built)."""
@@ -715,8 +724,13 @@ def _trace_kernel(n_levels: int, t_min: float, true_super: int,
     L = n_levels
     aabb_refs = refs[0:L]
     sup_oct_aabb, sup_oct_id = refs[L], refs[L + 1]
-    tri_refs = refs[L + 2 : L + 11]
-    nxt = L + 11
+    nxt = L + 2
+    clu_order = None
+    if INC_VOTE and L > 1:
+        clu_order = refs[nxt]
+        nxt += 1
+    tri_refs = refs[nxt : nxt + 9]
+    nxt += 9
     attr_refs = ()
     if resolve:
         attr_refs = refs[nxt : nxt + ATTR_TABLES]
@@ -860,20 +874,12 @@ def _trace_kernel(n_levels: int, t_min: float, true_super: int,
     def t_best():
         return out_ref[:, 0:LANES]
 
-    def vote_word(aabb_ref, idx_base, save_rows: bool):
-        """Vote 16 consecutive boxes at ``idx_base`` -> one scalar bitmask.
-
-        ``save_rows``: additionally store each ROW's own 16-bit vote word to
-        the rowvote scratch (lane-rotation fold first, so every lane of row
-        r holds row r's word, then one vector store) — consumed by
-        cluster_work's per-row gating. Same total fold ops as
-        _or_reduce_scalar, reordered."""
-        t_lim = t_best()
-        m = jnp.zeros((BLOCK_ROWS, LANES), jnp.uint32)
-        for b in range(FANOUT):  # static unroll
-            hit = _slab_vote(aabb_ref, idx_base + b,
-                             ox, oy, oz, ix, iy, iz, t_min, t_lim)
-            m = m | jnp.where(hit, jnp.uint32(1 << b), jnp.uint32(0))
+    def fold_word(m, save_rows: bool):
+        """(8,128) uint32 vote bits -> scalar word; ``save_rows``
+        additionally stores each ROW's own vote word to the rowvote scratch
+        (lane-rotation fold first, so every lane of row r holds row r's
+        word, then one vector store) — consumed by cluster_work's per-row
+        gating. Same total fold ops as _or_reduce_scalar, reordered."""
         if not save_rows:
             return _or_reduce_scalar(m)
         for sh in (64, 32, 16, 8, 4, 2, 1):
@@ -884,6 +890,33 @@ def _trace_kernel(n_levels: int, t_min: float, true_super: int,
             m = m[: r // 2, :] | m[r // 2 : r, :]
             r //= 2
         return jnp.max(pltpu.bitcast(m, jnp.int32))
+
+    def vote_word(aabb_ref, idx_base, save_rows: bool):
+        """Vote 16 consecutive boxes at ``idx_base`` -> one scalar bitmask."""
+        t_lim = t_best()
+        m = jnp.zeros((BLOCK_ROWS, LANES), jnp.uint32)
+        for b in range(FANOUT):  # static unroll
+            hit = _slab_vote(aabb_ref, idx_base + b,
+                             ox, oy, oz, ix, iy, iz, t_min, t_lim)
+            m = m | jnp.where(hit, jnp.uint32(1 << b), jnp.uint32(0))
+        return fold_word(m, save_rows)
+
+    def vote_slots(aabb_ref, child_base, w4, save_rows: bool):
+        """Vote 8 boxes at ``child_base + slot`` for the 4-bit slots packed
+        in ``w4`` (a level_order half-word, near-to-far) -> scalar bitmask
+        with bit b = slot (w4 >> 4b) & 15. Reads t_best() NOW, so votes
+        taken after earlier visits see their tightened t."""
+        t_lim = t_best()
+        m = jnp.zeros((BLOCK_ROWS, LANES), jnp.uint32)
+        for b in range(8):  # static unroll; slots are dynamic scalars
+            slot = (
+                jax.lax.shift_right_logical(w4, jnp.uint32(4 * b))
+                & jnp.uint32(15)
+            ).astype(jnp.int32)
+            hit = _slab_vote(aabb_ref, child_base + slot,
+                             ox, oy, oz, ix, iy, iz, t_min, t_lim)
+            m = m | jnp.where(hit, jnp.uint32(1 << b), jnp.uint32(0))
+        return fold_word(m, save_rows)
 
     def vote_children(aabb_ref, parent, save_rows=False):
         """Vote the 16 children of ``parent`` -> one scalar bitmask."""
@@ -930,13 +963,38 @@ def _trace_kernel(n_levels: int, t_min: float, true_super: int,
 
                 def super_body(sb, w=w):
                     sid = sup_oct_id[base + w * FANOUT + sb, 0]
-                    cword = vote_children(aabb_clu, sid, ROW_GATE)
-                    _for_each_set_bit(
-                        cword,
-                        lambda k, s=sid: cluster_work(
-                            s * FANOUT + k, k if ROW_GATE else None
-                        ),
-                    )
+                    if clu_order is None:
+                        cword = vote_children(aabb_clu, sid, ROW_GATE)
+                        _for_each_set_bit(
+                            cword,
+                            lambda k, s=sid: cluster_work(
+                                s * FANOUT + k, k if ROW_GATE else None
+                            ),
+                        )
+                        return
+                    # incremental near-to-far halves: the near half's hits
+                    # tighten t_best before the far half is voted at all
+                    row = sid * 8 + oct
+                    for half in (0, 1):
+                        w4 = pltpu.bitcast(
+                            clu_order[row, half], jnp.uint32
+                        )
+
+                        def cbody(k, w4=w4, s=sid):
+                            slot = (
+                                jax.lax.shift_right_logical(
+                                    w4, (4 * k).astype(jnp.uint32)
+                                )
+                                & jnp.uint32(15)
+                            ).astype(jnp.int32)
+                            cluster_work(
+                                s * FANOUT + slot, k if ROW_GATE else None
+                            )
+
+                        cword = vote_slots(
+                            aabb_clu, sid * FANOUT, w4, ROW_GATE
+                        )
+                        _for_each_set_bit(cword, cbody)
 
                 _for_each_set_bit(word, super_body)
 

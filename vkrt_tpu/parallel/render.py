@@ -21,7 +21,7 @@ from jax import shard_map
 
 from vkrt_tpu.models.pathtracer import accumulate, trace_pixels
 from vkrt_tpu.ops.rng import tea
-from vkrt_tpu.utils.camera import pixel_coords
+from vkrt_tpu.utils.camera import pixel_coords, tile_perm
 
 
 def make_sharded_pathtrace_step(
@@ -39,8 +39,22 @@ def make_sharded_pathtrace_step(
     pix_all = pixel_coords(width, height)
     pid_all = jnp.arange(n, dtype=jnp.uint32)
 
+    # Per-shard 32x32 tile blocking: a shard's band arrives in scanline
+    # order, but the trace kernel's 1024-ray blocks want compact pixel
+    # tiles, not 1024-wide stripes (the single-device engine permutes the
+    # whole frame the same way). The permutation is local to the shard and
+    # inverted on the radiance, so the global accum layout is unchanged.
+    local_tile = height % n_tile == 0  # whole row bands only
+    if local_tile:
+        band_perm, band_inv = tile_perm(width, height // n_tile)
+        band_perm = jnp.asarray(band_perm)
+        band_inv = jnp.asarray(band_inv)
+
     def shard_body(cam, frame, accum_shard, clear_color, pix, pid):
         group = jax.lax.axis_index("spp").astype(jnp.uint32)
+        if local_tile:
+            pix = jnp.take(pix, band_perm, axis=0)
+            pid = jnp.take(pid, band_perm)
         seeds = tea(pid, jnp.uint32(frame) * jnp.uint32(n_spp) + group)
         res = trace_pixels(
             scene,  # replicated via closure capture
@@ -55,7 +69,10 @@ def make_sharded_pathtrace_step(
             pix=pix,
             seeds=seeds,
         )
-        radiance = jax.lax.pmean(res.radiance, "spp")
+        radiance = res.radiance
+        if local_tile:
+            radiance = jnp.take(radiance, band_inv, axis=0)
+        radiance = jax.lax.pmean(radiance, "spp")
         rays = jax.lax.psum(res.rays, ("tile", "spp"))
         return accumulate(accum_shard, radiance, frame), rays
 
