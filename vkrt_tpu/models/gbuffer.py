@@ -106,8 +106,21 @@ def gbuffer_pass(
     # angles and footprint direction entirely.
     from vkrt_tpu.scene import scene_is_textured
 
+    import os
+
+    # VKRT_ANISO=0: fall back to the round-2 isotropic per-triangle-density
+    # trilinear LOD (cheaper: 8 texel gathers/fetch vs aniso's 32) — a
+    # measurement/perf knob; default stays the reference-faithful 4x aniso
+    aniso = os.environ.get("VKRT_ANISO", "1") == "1"
     uv_grads = None
-    if scene_is_textured(scene):
+    lod = None
+    if scene_is_textured(scene) and not aniso:
+        pixel_angle = 2.0 * jnp.abs(cam.proj_inverse[1, 1]) / float(height)
+        tex_w = scene.tex_level_size[:, 0, 0].max().astype(jnp.float32)
+        density = jnp.take(scene.tri_uv_density, tri)
+        footprint_texels = hi.t * pixel_angle * density * tex_w
+        lod = jnp.log2(jnp.maximum(footprint_texels, 1e-9))
+    if scene_is_textured(scene) and aniso:
         pixc = pix if pix is not None else pixel_coords(width, height)
         pi = cam.proj_inverse
         rot = cam.view_inverse[:3, :3]  # camera->world rotation
@@ -160,9 +173,9 @@ def gbuffer_pass(
         uv_grads = (uv_deriv(ax), uv_deriv(ay))
 
     surf = (
-        surface_from_attrs(scene, at, uv_grads=uv_grads)
+        surface_from_attrs(scene, at, lod=lod, uv_grads=uv_grads)
         if use_resolve
-        else surface_at_hit(scene, tri, hi.u, hi.v, direction,
+        else surface_at_hit(scene, tri, hi.u, hi.v, direction, lod=lod,
                             uv_grads=uv_grads)
     )
 

@@ -698,7 +698,7 @@ def _for_each_set_bit(word, body):
 
 
 def _trace_kernel(n_levels: int, t_min: float, true_super: int,
-                  resolve: bool, *refs):
+                  resolve: bool, inc_vote: bool, *refs):
     """Unified closest/any trace: static super-word scan + voted visits.
 
     Rays arrive as ONE packed (8, 7*128) block [o.xyz | d.xyz | t_lim] and
@@ -726,7 +726,7 @@ def _trace_kernel(n_levels: int, t_min: float, true_super: int,
     sup_oct_aabb, sup_oct_id = refs[L], refs[L + 1]
     nxt = L + 2
     clu_order = None
-    if INC_VOTE and L > 1:
+    if inc_vote and L > 1:
         clu_order = refs[nxt]
         nxt += 1
     tri_refs = refs[nxt : nxt + 9]
@@ -976,9 +976,9 @@ def _trace_kernel(n_levels: int, t_min: float, true_super: int,
                     # tighten t_best before the far half is voted at all
                     row = sid * 8 + oct
                     for half in (0, 1):
-                        w4 = pltpu.bitcast(
-                            clu_order[row, half], jnp.uint32
-                        )
+                        # int32 -> uint32 view (astype wraps mod 2^32;
+                        # pltpu.bitcast rejects scalars)
+                        w4 = clu_order[row, half].astype(jnp.uint32)
 
                         def cbody(k, w4=w4, s=sid):
                             slot = (
@@ -1051,7 +1051,7 @@ def _chunk_rows(packed, rows):
 
 
 def _packed_trace(cs: ClusterScene, packed, n_levels, t_min, true_super,
-                  interpret, resolve):
+                  interpret, resolve, inc_vote):
     """Core chunked kernel launch: packed rays (R, 7*128) -> packed hit
     blocks (R, out_cols*128). Shared by the (N,3) API and the fully-packed
     bounce loop (ops.pallas.shade)."""
@@ -1065,9 +1065,13 @@ def _packed_trace(cs: ClusterScene, packed, n_levels, t_min, true_super,
         (PROG_ROWS, out_cols * LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
     kernel = functools.partial(
-        _trace_kernel, n_levels, t_min, true_super, resolve
+        _trace_kernel, n_levels, t_min, true_super, resolve, inc_vote
     )
     attr_cols = cs.attr_cols if resolve else ()
+    # incremental near-to-far votes consume the bottom level_order table
+    order_ops = (
+        (cs.level_order[-1],) if inc_vote and n_levels > 1 else ()
+    )
 
     def chunk_body(chunk):
         out = pl.pallas_call(
@@ -1076,7 +1080,8 @@ def _packed_trace(cs: ClusterScene, packed, n_levels, t_min, true_super,
             in_specs=[
                 # AABB/order tables live in VMEM: SMEM overflows past ~2k
                 # nodes and Mosaic supports scalar loads from VMEM refs
-                *[pl.BlockSpec(memory_space=pltpu.VMEM)] * (n_levels + 2),
+                *[pl.BlockSpec(memory_space=pltpu.VMEM)]
+                * (n_levels + 2 + len(order_ops)),
                 *[pl.BlockSpec(memory_space=pltpu.VMEM)] * (9 + len(attr_cols)),
                 ray_spec,
             ],
@@ -1086,8 +1091,8 @@ def _packed_trace(cs: ClusterScene, packed, n_levels, t_min, true_super,
             ),
             scratch_shapes=[pltpu.VMEM((PROG_ROWS, LANES), jnp.int32)],
             interpret=interpret,
-        )(*cs.level_aabb, cs.sup_oct_aabb, cs.sup_oct_id, *cs.tri_cols,
-          *attr_cols, chunk)
+        )(*cs.level_aabb, cs.sup_oct_aabb, cs.sup_oct_id, *order_ops,
+          *cs.tri_cols, *attr_cols, chunk)
         # barrier: stop XLA from fusing/holding the frame-sized outputs in
         # scoped VMEM (repeated compile-time VMEM OOMs without it)
         return jax.lax.optimization_barrier(out)
@@ -1098,24 +1103,30 @@ def _packed_trace(cs: ClusterScene, packed, n_levels, t_min, true_super,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n_levels", "t_min", "true_super", "interpret", "resolve"),
+    static_argnames=("n_levels", "t_min", "true_super", "interpret",
+                     "resolve", "inc_vote"),
 )
 def _trace_call_packed(cs: ClusterScene, packed, n_levels, t_min,
-                       true_super, interpret, resolve=True):
+                       true_super, interpret, resolve=True, inc_vote=None):
+    if inc_vote is None:
+        inc_vote = INC_VOTE
     return _packed_trace(cs, packed, n_levels, t_min, true_super,
-                         interpret, resolve)
+                         interpret, resolve, inc_vote)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n_levels", "t_min", "true_super", "interpret", "resolve"),
+    static_argnames=("n_levels", "t_min", "true_super", "interpret",
+                     "resolve", "inc_vote"),
 )
 def _trace_call(cs: ClusterScene, orig, direction, t_lim, n_levels, t_min,
-                true_super, interpret, resolve=False):
+                true_super, interpret, resolve=False, inc_vote=None):
+    if inc_vote is None:
+        inc_vote = INC_VOTE
     packed, n, rows = _pack_rays(orig, direction, t_lim)
     out_cols = OUT_COLS_RESOLVE if resolve else OUT_COLS_PLAIN
     out = _packed_trace(cs, packed, n_levels, t_min, true_super, interpret,
-                        resolve)
+                        resolve, inc_vote)
 
     def col(k):
         return out[:, k * LANES : (k + 1) * LANES].reshape(-1)[:n]
@@ -1147,6 +1158,8 @@ class PallasTracer(NamedTuple):
 
     cs: ClusterScene
     interpret: bool
+    # None = follow VKRT_INC_VOTE; _replace for in-process A/B sweeps
+    inc_vote: bool = None
 
     @property
     def resolves_attrs(self) -> bool:
@@ -1159,7 +1172,7 @@ class PallasTracer(NamedTuple):
         return _trace_call(
             self.cs, orig, direction, t_lim,
             len(counts), float(t_min), true_super, self.interpret,
-            resolve=resolve,
+            resolve=resolve, inc_vote=self.inc_vote,
         )
 
     def closest(self, orig, direction, t_min, t_max, t_lim=None):
@@ -1214,7 +1227,7 @@ class PallasTracer(NamedTuple):
         true_super = counts[-2] if len(counts) > 1 else counts[-1]
         return _trace_call_packed(
             self.cs, rays_packed, len(counts), float(t_min), true_super,
-            self.interpret, resolve=True,
+            self.interpret, resolve=True, inc_vote=self.inc_vote,
         )
 
     def closest_packed_plain(self, rays_packed, t_min):
@@ -1227,7 +1240,7 @@ class PallasTracer(NamedTuple):
         true_super = counts[-2] if len(counts) > 1 else counts[-1]
         return _trace_call_packed(
             self.cs, rays_packed, len(counts), float(t_min), true_super,
-            self.interpret, resolve=False,
+            self.interpret, resolve=False, inc_vote=self.inc_vote,
         )
 
 
