@@ -126,8 +126,14 @@ def _material_surface(scene, mat_id, uv, world_pos, world_nrm, world_tag,
         if uv_grads is not None:
             # raster-analog pass with screen-space UV derivatives: 4x
             # anisotropic trilinear (the reference's maxAnisotropy=4
-            # sampler, hello_vulkan.cpp:452-454)
-            from vkrt_tpu.ops.texture import sample_texture_aniso
+            # sampler, hello_vulkan.cpp:452-454) for the visually dominant
+            # color textures; the metallic-roughness and normal maps sample
+            # trilinearly at the shared MINOR-axis LOD (the aniso tap fan
+            # costs 32 texel gathers per fetch vs trilinear's 8 — measured
+            # 300 ms/frame on the hybrid city with all four fetches aniso,
+            # benchmarks/scratch/anisoab.py — and grazing-angle aliasing of
+            # mr/normal data is not visible through the BRDF)
+            from vkrt_tpu.ops.texture import aniso_minor_lod, sample_texture_aniso
 
             ddx_uv, ddy_uv = uv_grads
 
@@ -136,6 +142,15 @@ def _material_surface(scene, mat_id, uv, world_pos, world_nrm, world_tag,
                     scene.tex_mip_atlas, scene.tex_level_size,
                     scene.tex_level_off, scene.tex_n_levels, idx, uv,
                     ddx_uv, ddy_uv,
+                )
+
+            def fetch_data(idx):
+                lod_m = aniso_minor_lod(
+                    scene.tex_level_size, idx, ddx_uv, ddy_uv
+                )
+                return sample_texture_lod(
+                    scene.tex_mip_atlas, scene.tex_level_size,
+                    scene.tex_level_off, scene.tex_n_levels, idx, uv, lod_m,
                 )
         elif lod is None:
             def fetch(idx):
@@ -147,15 +162,17 @@ def _material_surface(scene, mat_id, uv, world_pos, world_nrm, world_tag,
                     scene.tex_level_off, scene.tex_n_levels, idx, uv, lod,
                 )
 
+        if uv_grads is None:
+            fetch_data = fetch
         base_color = base_factor * fetch(base_tex)[:, :3]
-        mr = fetch(mr_tex)
+        mr = fetch_data(mr_tex)
         # roughness in G, metalness in B (gltf.glsl:40-44); no-texture => 1
         roughness = rough_f * mr[:, 1]
         metallic = metal_f * mr[:, 2]
         emissive = emis_f * fetch(emis_tex)[:, :3]
         # Normal mapping (rchit:93-106): TBN = (worldTag, worldBin, worldNrm);
         # when a normal texture exists the frame is rebuilt around texNormal.
-        tex_n_rgb = fetch(normal_tex)[:, :3]
+        tex_n_rgb = fetch_data(normal_tex)[:, :3]
         mapped = normalize(tex_n_rgb * 2.0 - 1.0)
         mapped_world = normalize(
             local_to_world(mapped, world_tag, world_bin, world_nrm)

@@ -153,6 +153,20 @@ def sample_texture_lod(atlas, level_size, level_off, n_levels, tex_idx, uv, lod)
 MAX_ANISO = 4.0  # the reference sampler's maxAnisotropy (hello_vulkan.cpp:452-454)
 
 
+def aniso_minor_lod(level_size, tex_idx, ddx_uv, ddy_uv):
+    """The MINOR-footprint-axis mip level (clamped so major/minor never
+    exceeds MAX_ANISO) — the LOD the aniso taps sample at. Useful alone
+    for data textures that skip the tap fan."""
+    k = jnp.maximum(tex_idx, 0)
+    sz0 = level_size[k, 0].astype(jnp.float32)  # (N,2) level-0 (w,h)
+    px = jnp.sqrt(jnp.sum((ddx_uv * sz0) ** 2, axis=-1))
+    py = jnp.sqrt(jnp.sum((ddy_uv * sz0) ** 2, axis=-1))
+    pmax = jnp.maximum(px, py)
+    pmin = jnp.minimum(px, py)
+    pmin_eff = jnp.maximum(jnp.maximum(pmin, pmax / MAX_ANISO), 1e-9)
+    return jnp.log2(pmin_eff)
+
+
 def sample_texture_aniso(
     atlas, level_size, level_off, n_levels, tex_idx, uv, ddx_uv, ddy_uv
 ):
