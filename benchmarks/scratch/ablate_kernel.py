@@ -45,7 +45,7 @@ def make_kernel(mode):
                     v_row = out_ref[r:r+1, 3*LANES:4*LANES]
                     for g in range(CLUSTER//GROUP):
                         base = c*CLUSTER + g*GROUP
-                        t_c,u_c,v_c,valid = T._mt_group(tiles,g,oxr,oyr,ozr,dxr,dyr,dzr,t_min)
+                        t_c,u_c,v_c,valid,*_ = T._mt_group(tiles,g,oxr,oyr,ozr,dxr,dyr,dzr,t_min)
                         t_c = jnp.where(t_c<t_max,t_c,INF)
                         t_min_g = jnp.min(t_c,axis=0,keepdims=True)
                         is_min = t_c==t_min_g

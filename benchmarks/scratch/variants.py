@@ -58,7 +58,7 @@ def make_kernel(variant, n_levels, t_min, true_super=0):
                 v_row = out_ref[row:row + 1, 3 * LANES:4 * LANES]
                 for g in range(CLUSTER // GROUP):
                     base = c * CLUSTER + g * GROUP
-                    t_c, u_c, v_c, _ = T._mt_group(tiles, g, oxr, oyr, ozr, dxr, dyr, dzr, t_min)
+                    t_c, u_c, v_c, *_ = T._mt_group(tiles, g, oxr, oyr, ozr, dxr, dyr, dzr, t_min)
                     t_min_g = jnp.min(t_c, axis=0, keepdims=True)
                     is_min = t_c == t_min_g
                     win_sub = jnp.min(jnp.where(is_min, sub_iota, GROUP), axis=0, keepdims=True)

@@ -49,13 +49,43 @@ def test_pallas_closest_matches_oracle(box, rng):
     np.testing.assert_allclose(
         np.asarray(got.t)[h], np.asarray(ref.t)[h], rtol=1e-4, atol=1e-5
     )
-    # coplanar-face ties may resolve to a different (equal-t) triangle
+    # coplanar-face ties may resolve to a different triangle — but then the
+    # two picks must be EQUAL-t (a genuine tie), and ties must stay rare
     same = np.asarray(got.tri)[h] == np.asarray(ref.tri)[h]
-    assert same.mean() > 0.995
+    np.testing.assert_allclose(
+        np.asarray(got.t)[h][~same], np.asarray(ref.t)[h][~same],
+        rtol=1e-5, atol=1e-6,
+    )
+    assert same.mean() > 0.99
     np.testing.assert_allclose(
         np.asarray(got.u)[h][same], np.asarray(ref.u)[h][same],
         rtol=1e-3, atol=1e-4,
     )
+
+
+def test_anyhit_kill_mixed_pool(box, rng):
+    """Fused pools mix closest lanes with NEGATIVE-t_lim first-hit-kills
+    lanes (the kernel's any-hit mode): closest lanes must be unaffected
+    and kill lanes' verdicts must equal the oracle's any-hit at |t_lim|."""
+    pt = make_pallas_tracer(box, interpret=True)
+    bf = make_tracer(box, "bruteforce")
+    n = 512
+    o, d = _rays(n, rng)
+    lim = jnp.asarray(rng.uniform(0.3, 8.0, size=(n,)), jnp.float32)
+    ref_c = bf.closest(o, d, 1e-3, 1e4)
+    ref_a = bf.any(o, d, 1e-3, lim)
+    mixed = jnp.concatenate([jnp.full((n,), 1e4, jnp.float32), -lim])
+    got = pt.closest(jnp.concatenate([o, o]), jnp.concatenate([d, d]),
+                     1e-3, 1e4, t_lim=mixed)
+    np.testing.assert_array_equal(
+        np.asarray(got.hit)[:n], np.asarray(ref_c.hit)
+    )
+    h = np.asarray(ref_c.hit)
+    np.testing.assert_allclose(
+        np.asarray(got.t)[:n][h], np.asarray(ref_c.t)[h],
+        rtol=1e-4, atol=1e-5,
+    )
+    np.testing.assert_array_equal(np.asarray(got.hit)[n:], np.asarray(ref_a))
 
 
 def test_pallas_any_matches_oracle(box, rng):

@@ -155,12 +155,18 @@ def bounce_chain(
         light_dist_this = jnp.where(miss, c.light_dist, bs.light_dist)
 
         # shadow ray (rgen:77-97): diffuse hits only. Lanes that don't need
-        # one get dir=0 and t-limit 0 so the kernel votes skip them.
+        # one get dir=0 and t-limit 0 so the kernel votes skip them. When
+        # the tracer supports it, shadow lanes in the FUSED pool carry a
+        # NEGATIVE limit — the Pallas kernel's first-hit-kills mode (the
+        # verdict only reads hit-or-not, so the lane stops traversing at
+        # its first occluder); oracle/alpha tracers keep positive limits.
         do_shadow = c.active & ~miss & ~is_spec_this
         sh_dir = jnp.where(do_shadow[:, None], bs.shadow_dir, 0.0)
-        sh_lim = jnp.where(
-            do_shadow, jnp.maximum(light_dist_this - 0.1, T_MIN), 0.0
+        sh_dist = jnp.maximum(light_dist_this - 0.1, T_MIN)
+        sh_sign = (
+            -1.0 if getattr(tracer, "anyhit_kill_capable", False) else 1.0
         )
+        sh_lim = jnp.where(do_shadow, sh_sign * sh_dist, 0.0)
         active_next = c.active & ~miss
 
         if trace_next:

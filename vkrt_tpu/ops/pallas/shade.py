@@ -464,7 +464,10 @@ def _shade_kernel(
     shd_x = jnp.where(do_shadow, lx, 0.0)
     shd_y = jnp.where(do_shadow, ly, 0.0)
     shd_z = jnp.where(do_shadow, lz, 0.0)
-    sh_lim = jnp.where(do_shadow, jnp.maximum(ldist_this - 0.1, t_min), 0.0)
+    # NEGATIVE limit = the trace kernel's first-hit-kills mode (a shadow
+    # verdict only reads idx >= 0; the lane stops traversing at its first
+    # occluder instead of hunting for the closest)
+    sh_lim = jnp.where(do_shadow, -jnp.maximum(ldist_this - 0.1, t_min), 0.0)
     shadow_o[:] = jnp.concatenate(
         [px, py, pz, shd_x, shd_y, shd_z, sh_lim], axis=1
     )

@@ -69,6 +69,18 @@ LANES = 128
 INF = 3e38  # python float: jnp scalars would be captured as kernel constants
 _DET_EPS = 1e-9
 
+# Ray-triangle intersector. "mt" = Möller-Trumbore on (v0, e1, e2); "bw" =
+# Baldwin-Weber precomputed world->barycentric transform (n|nd, pu|pud,
+# pv|pvd — 12 floats/tri vs 9). BW trades +3 component tables for ~1.5x
+# fewer VPU ops per ray-triangle pair (no cross products at trace time: one
+# plane solve + two affine barycentric evaluations), and the hit POINT falls
+# out as o + t*d so the resolve path's position interpolation is free. The
+# per-visit MT math is the measured bound of the incoherent-pool trace (the
+# city frame's dominant stage), so op count there is the frame time.
+ISECT = os.environ.get("VKRT_ISECT", "mt")
+assert ISECT in ("mt", "bw"), ISECT
+N_TRI_COLS = 12 if ISECT == "bw" else 9
+
 # --- in-kernel attribute resolve -------------------------------------------
 # 26 packed per-corner attribute tables, delta form (a0, a1-a0, a2-a0) so a
 # candidate interpolates with 2 FMAs per component: value = a0 + u*d1 + v*d2.
@@ -113,8 +125,9 @@ INC_VOTE = os.environ.get("VKRT_INC_VOTE", "0") == "1"
 class ClusterScene(NamedTuple):
     """Triangle + vote-tree data packed for the kernel (host-built)."""
 
-    tri_cols: tuple          # 9 arrays (T_pad//128, 128) f32: v0,e1,e2 xyz,
-                             # row-major packed (lane-dim fully utilized)
+    tri_cols: tuple          # N_TRI_COLS arrays (T_pad//128, 128) f32:
+                             # mt: v0,e1,e2 xyz (9); bw: n xyz, nd, pu xyz,
+                             # pud, pv xyz, pvd (12) — lane-dim fully packed
     level_aabb: tuple        # top..bottom, (n_pad, 8) f32 (minxyz,maxxyz,pad)
     level_order: tuple       # top..bottom, (n_parent_pad*8, 16) i32: packed
                              # 4-bit child-slot permutations, cols 0/1 =
@@ -261,7 +274,7 @@ def build_cluster_scene(tri_v0, tri_e1, tri_e2, attrs=None) -> ClusterScene:
 
 def _attrs_fit_budget(t_pad: int) -> bool:
     """Do geometry + attribute tables fit the resident-VMEM budget?"""
-    return 4 * t_pad * (9 + ATTR_TABLES) <= ATTR_VMEM_BUDGET
+    return 4 * t_pad * (N_TRI_COLS + ATTR_TABLES) <= ATTR_VMEM_BUDGET
 
 
 # Pre-pivoted component layout (CLUSTER=64 only): tile row (c//16)*8 + s,
@@ -296,16 +309,22 @@ def _dirty_rows(dirty_clusters: np.ndarray) -> np.ndarray:
     return np.repeat(tile_dirty, 8)
 
 
-def _pack_attr_cols(tri_order, attrs) -> tuple:
+def _pack_attr_cols(tri_order, attrs, sel=None) -> tuple:
     """Pack per-corner attributes into 26 delta-form column tables (see
-    ATTR_TABLES for the layout), reordered by the packed slot order."""
+    ATTR_TABLES for the layout), reordered by the packed slot order.
+
+    ``sel``: optional slot selection (refit: the dirty rows' slot ranges,
+    in device order) — cost then scales with the moved subset."""
     corner_normal, corner_tangent, corner_uv, tri_mat = attrs
-    cn = np.asarray(corner_normal, np.float32)
-    ct = np.asarray(corner_tangent, np.float32)
-    cu = np.asarray(corner_uv, np.float32)
-    tm = np.asarray(tri_mat, np.float32)
     valid = tri_order >= 0
     safe = np.where(valid, tri_order, 0)
+    if sel is not None:
+        valid = valid[sel]
+        safe = safe[sel]
+    cn = np.asarray(corner_normal, np.float32)[safe]    # (S,3,3)
+    ct = np.asarray(corner_tangent, np.float32)[safe]   # (S,3,4)
+    cu = np.asarray(corner_uv, np.float32)[safe]        # (S,3,2)
+    tm = np.asarray(tri_mat, np.float32)[safe]          # (S,)
 
     srcs = []
     for arr in (cn, ct[..., :3]):
@@ -321,10 +340,45 @@ def _pack_attr_cols(tri_order, attrs) -> tuple:
     assert len(srcs) == ATTR_TABLES
     return tuple(
         jnp.asarray(_layout_col(
-            np.where(valid, s[safe], 0.0).astype(np.float32)
+            np.where(valid, s, 0.0).astype(np.float32)
         ))
         for s in srcs
     )
+
+
+def _tri_component_arrays(v0, e1, e2):
+    """Per-slot intersector component arrays ((S,) f32 each, table order).
+
+    mt: v0/e1/e2 xyz (Möller-Trumbore operands). bw: the Baldwin-Weber
+    transform — unit plane normal n̂ + offset nd = -n̂·v0, and the two
+    barycentric functionals pu|pud, pv|pvd with pu·e1 = 1, pu·e2 = 0 (and
+    symmetrically pv), so u(p) = pu·p + pud, v(p) = pv·p + pvd for any
+    plane point p. Precomputed in float64: the |e1×e2|² Gram determinant
+    spans ~1e-12..1e8 across real scenes and an f32 reciprocal there would
+    bleed into every u/v. Degenerate (pad) triangles get all-zero rows:
+    n̂ = 0 ⇒ denom = 0 ⇒ guarded invalid, exactly like mt's det = 0.
+    """
+    if ISECT == "mt":
+        return [np.ascontiguousarray(a[:, j], np.float32)
+                for a in (v0, e1, e2) for j in range(3)]
+    v0d = v0.astype(np.float64)
+    e1d = e1.astype(np.float64)
+    e2d = e2.astype(np.float64)
+    n = np.cross(e1d, e2d)
+    n2 = (n * n).sum(1)
+    ok = n2 > 0
+    inv_len = np.where(ok, 1.0 / np.sqrt(np.where(ok, n2, 1.0)), 0.0)
+    nu = n * inv_len[:, None]                        # unit normal (or 0)
+    # pu = (e2 × n̂)/|n|: pu·e1 = n̂·(e1×e2)/|n| = 1, pu·e2 = 0
+    pu = np.cross(e2d, nu) * inv_len[:, None]
+    pv = np.cross(nu, e1d) * inv_len[:, None]
+    nd = -(nu * v0d).sum(1)
+    pud = -(pu * v0d).sum(1)
+    pvd = -(pv * v0d).sum(1)
+    comps = [nu[:, 0], nu[:, 1], nu[:, 2], nd,
+             pu[:, 0], pu[:, 1], pu[:, 2], pud,
+             pv[:, 0], pv[:, 1], pv[:, 2], pvd]
+    return [np.ascontiguousarray(c, np.float32) for c in comps]
 
 
 def _pack_cluster_scene(tri_v0, tri_e1, tri_e2, tri_order, cluster_aabb,
@@ -335,11 +389,12 @@ def _pack_cluster_scene(tri_v0, tri_e1, tri_e2, tri_order, cluster_aabb,
     valid = tri_order >= 0
     safe = np.where(valid, tri_order, 0)
 
-    def col(a, j):
-        out = np.where(valid, a[safe, j], 0.0).astype(np.float32)
-        return jnp.asarray(_layout_col(out))
-
-    tri_cols = tuple(col(a, j) for a in (v0, e1, e2) for j in range(3))
+    vm = valid[:, None]
+    comps = _tri_component_arrays(
+        np.where(vm, v0[safe], 0.0), np.where(vm, e1[safe], 0.0),
+        np.where(vm, e2[safe], 0.0),
+    )
+    tri_cols = tuple(jnp.asarray(_layout_col(c)) for c in comps)
     level_aabb, level_order, counts = _build_levels(
         np.asarray(cluster_aabb[:, :6], np.float32)
     )
@@ -471,14 +526,29 @@ def refit_cluster_scene(cs: ClusterScene, tri_v0, tri_e1, tri_e2,
     # row granularity, layout-aware: pre-pivoted tables dirty 8 rows per
     # 16-cluster tile, row-major tables LANES//CLUSTER clusters per row)
     rows_dirty = _dirty_rows(dirty)
-    new_cols = []
-    comps = [(v0, 0), (v0, 1), (v0, 2), (e1, 0), (e1, 1), (e1, 2),
-             (e2, 0), (e2, 1), (e2, 2)]
     r_idx = np.nonzero(rows_dirty)[0]
-    for (a, j), colarr in zip(comps, cs.tri_cols):
-        fresh = np.where(valid, a[safe, j], 0.0).astype(np.float32)
-        fresh = _layout_col(fresh)
-        colarr = jnp.asarray(colarr).at[r_idx].set(jnp.asarray(fresh[r_idx]))
+    # Host cost scales with the MOVED subset, not the scene: recompute
+    # components only on the dirty rows' slots. The device layout is
+    # tile-local (pre-pivoted: 8 rows = one 16-cluster tile = 8*LANES
+    # slots; row-major: 1 row = LANES slots), so _layout_col over the
+    # concatenated dirty slot ranges yields exactly the dirty rows.
+    if _PP:
+        sel = (
+            (r_idx[::8] // 8)[:, None] * (8 * LANES) + np.arange(8 * LANES)
+        ).reshape(-1)
+    else:
+        sel = (r_idx[:, None] * LANES + np.arange(LANES)).reshape(-1)
+    vsel = valid[sel]
+    ssel = safe[sel]
+    vm = vsel[:, None]
+    comps = _tri_component_arrays(
+        np.where(vm, v0[ssel], 0.0), np.where(vm, e1[ssel], 0.0),
+        np.where(vm, e2[ssel], 0.0),
+    )
+    new_cols = []
+    for fresh, colarr in zip(comps, cs.tri_cols):
+        fresh_rows = _layout_col(fresh)  # (len(r_idx), LANES)
+        colarr = jnp.asarray(colarr).at[r_idx].set(jnp.asarray(fresh_rows))
         new_cols.append(colarr)
 
     # attribute columns move with the geometry (normals/tangents rotate
@@ -489,17 +559,21 @@ def refit_cluster_scene(cs: ClusterScene, tri_v0, tri_e1, tri_e2,
     if cs.attr_cols:
         assert attrs is not None, \
             "refit of an attribute-resolving ClusterScene needs attrs"
-        fresh_attrs = _pack_attr_cols(order, attrs)
+        fresh_attrs = _pack_attr_cols(order, attrs, sel=sel)
         new_attr_cols = tuple(
-            jnp.asarray(old).at[r_idx].set(fresh[r_idx])
+            jnp.asarray(old).at[r_idx].set(fresh)
             for old, fresh in zip(cs.attr_cols, fresh_attrs)
         )
 
-    # recompute dirty clusters' AABBs (vectorized over all slots, cheap)
-    vld = valid.reshape(-1, CLUSTER)
-    c_v0 = v0[safe].reshape(-1, CLUSTER, 3)
-    c_e1 = e1[safe].reshape(-1, CLUSTER, 3)
-    c_e2 = e2[safe].reshape(-1, CLUSTER, 3)
+    # recompute DIRTY clusters' AABBs only (slots of a cluster are
+    # contiguous in packed order)
+    dc = np.nonzero(dirty)[0]
+    dslots = (dc[:, None] * CLUSTER + np.arange(CLUSTER)).reshape(-1)
+    vld = valid[dslots].reshape(-1, CLUSTER)
+    dsafe = safe[dslots]
+    c_v0 = v0[dsafe].reshape(-1, CLUSTER, 3)
+    c_e1 = e1[dsafe].reshape(-1, CLUSTER, 3)
+    c_e2 = e2[dsafe].reshape(-1, CLUSTER, 3)
     p1 = c_v0 + c_e1
     p2 = c_v0 + c_e2
     lo = np.minimum(np.minimum(c_v0, p1), p2)
@@ -518,8 +592,8 @@ def refit_cluster_scene(cs: ClusterScene, tri_v0, tri_e1, tri_e2,
     empty = caabb[:, 0] >= 1e30
     caabb[empty, 0:3] = np.inf
     caabb[empty, 3:6] = -np.inf
-    caabb[dirty[:n_c], :3] = lo[: n_c][dirty[:n_c]]
-    caabb[dirty[:n_c], 3:] = hi[: n_c][dirty[:n_c]]
+    caabb[dc, :3] = lo
+    caabb[dc, 3:] = hi
 
     level_aabb, level_order, counts = _build_levels(caabb)
     assert counts == cs.level_counts
@@ -634,7 +708,37 @@ def _mt_group(
         & (u + v <= 1.0)
         & (t > t_min)
     )
-    return jnp.where(valid, t, INF), u, v, valid
+    return jnp.where(valid, t, INF), u, v, valid, None
+
+
+def _bw_group(tiles, g, ox, oy, oz, dx, dy, dz, t_min):
+    """Baldwin-Weber plane-transform intersection for an 8-triangle group
+    vs a 128-ray row: solve the plane (t = -(n̂·o + nd)/(n̂·d)), take the
+    hit point h = o + t d, evaluate the two precomputed barycentric
+    functionals at h. ~1.5x fewer vector ops than Möller-Trumbore (no
+    trace-time cross products) on the same (8,1)x(1,128) broadcast
+    pattern; h doubles as the resolve path's hit position (saving its
+    v0 + u·e1 + v·e2 interpolation). Returns (t, u, v, valid, (hx,hy,hz)).
+    """
+    (nx, ny, nz, nd, pux, puy, puz, pud,
+     pvx, pvy, pvz, pvd) = (comp[g] for comp in tiles)
+    denom = nx * dx + ny * dy + nz * dz
+    dist = nx * ox + ny * oy + nz * oz + nd
+    # guarded -1/denom: degenerate (pad) rows have n̂ = 0 and parallel rays
+    # denom ~ 0 — both rejected like mt's det = 0
+    ok = jnp.abs(denom) > _DET_EPS
+    neg_inv = jnp.where(ok, -pl.reciprocal(denom, approx=False), 0.0)
+    t = dist * neg_inv
+    hx = ox + t * dx
+    hy = oy + t * dy
+    hz = oz + t * dz
+    u = pux * hx + puy * hy + puz * hz + pud
+    v = pvx * hx + pvy * hy + pvz * hz + pvd
+    valid = ok & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0) & (t > t_min)
+    return jnp.where(valid, t, INF), u, v, valid, (hx, hy, hz)
+
+
+_isect_group = _bw_group if ISECT == "bw" else _mt_group
 
 
 def _or_reduce_scalar(mask):
@@ -729,8 +833,8 @@ def _trace_kernel(n_levels: int, t_min: float, true_super: int,
     if inc_vote and L > 1:
         clu_order = refs[nxt]
         nxt += 1
-    tri_refs = refs[nxt : nxt + 9]
-    nxt += 9
+    tri_refs = refs[nxt : nxt + N_TRI_COLS]
+    nxt += N_TRI_COLS
     attr_refs = ()
     if resolve:
         attr_refs = refs[nxt : nxt + ATTR_TABLES]
@@ -746,6 +850,14 @@ def _trace_kernel(n_levels: int, t_min: float, true_super: int,
     dy = rays[:, 4 * LANES : 5 * LANES]
     dz = rays[:, 5 * LANES : 6 * LANES]
     tm = rays[:, 6 * LANES : 7 * LANES]
+    # A NEGATIVE t_lim flags a first-hit-kills lane (shadow/AO/visibility —
+    # the rgen terminateOnFirstHit analog): its search bound is |t_lim| and
+    # the first improvement collapses the bound to -INF, so every later
+    # slab vote and row gate drops the lane instead of hunting for a CLOSER
+    # occluder it doesn't need. Dead/pad lanes (t_lim = -1, origin parked
+    # at 1e30) read as kill-lanes that can never hit — a no-op as before.
+    any_kill = tm < 0.0
+    t_start = jnp.abs(tm)
 
     def safe_inv(d):
         return pl.reciprocal(
@@ -764,7 +876,7 @@ def _trace_kernel(n_levels: int, t_min: float, true_super: int,
         jnp.full((BLOCK_ROWS, LANES), -1, jnp.int32), jnp.float32
     )
     out_ref[:] = jnp.concatenate(
-        [tm, neg1_bits,
+        [t_start, neg1_bits,
          jnp.zeros((BLOCK_ROWS, (out_cols - 2) * LANES), jnp.float32)],
         axis=1,
     )
@@ -793,6 +905,7 @@ def _trace_kernel(n_levels: int, t_min: float, true_super: int,
             dxr = dx[row : row + 1, :]
             dyr = dy[row : row + 1, :]
             dzr = dz[row : row + 1, :]
+            kill_row = any_kill[row : row + 1, :]
             t_row = out_ref[row : row + 1, 0:LANES]
             idx_row = pltpu.bitcast(
                 out_ref[row : row + 1, LANES : 2 * LANES], jnp.int32
@@ -805,7 +918,7 @@ def _trace_kernel(n_levels: int, t_min: float, true_super: int,
             ]
             for g in range(CLUSTER // GROUP):
                 base = c * CLUSTER + g * GROUP
-                t_c, u_c, v_c, valid = _mt_group(
+                t_c, u_c, v_c, valid, h_c = _isect_group(
                     tiles, g, oxr, oyr, ozr, dxr, dyr, dzr, t_min
                 )
                 # reduce 8 candidate triangles -> best per lane
@@ -818,7 +931,11 @@ def _trace_kernel(n_levels: int, t_min: float, true_super: int,
                 u_g = jnp.sum(jnp.where(pick, u_c, 0.0), axis=0, keepdims=True)
                 v_g = jnp.sum(jnp.where(pick, v_c, 0.0), axis=0, keepdims=True)
                 improved = t_min_g < t_row  # t_row starts at the lane's tMax
-                t_row = jnp.where(improved, t_min_g, t_row)
+                # kill-lanes park at -INF on their first hit: no later
+                # candidate can improve and their votes collapse
+                t_row = jnp.where(
+                    improved, jnp.where(kill_row, -INF, t_min_g), t_row
+                )
                 idx_row = jnp.where(improved, base + win_sub, idx_row)
                 u_row = jnp.where(improved, u_g, u_row)
                 v_row = jnp.where(improved, v_g, v_row)
@@ -831,12 +948,15 @@ def _trace_kernel(n_levels: int, t_min: float, true_super: int,
                             jnp.where(pick, x, 0.0), axis=0, keepdims=True
                         )
 
-                    cand = [
-                        # pos = v0 + u*e1 + v*e2 (from the geometry tiles)
-                        tiles[0][g] + u_c * tiles[3][g] + v_c * tiles[6][g],
-                        tiles[1][g] + u_c * tiles[4][g] + v_c * tiles[7][g],
-                        tiles[2][g] + u_c * tiles[5][g] + v_c * tiles[8][g],
-                    ]
+                    if h_c is not None:
+                        cand = list(h_c)  # bw: hit point already computed
+                    else:
+                        cand = [
+                            # pos = v0 + u*e1 + v*e2 (the geometry tiles)
+                            tiles[0][g] + u_c * tiles[3][g] + v_c * tiles[6][g],
+                            tiles[1][g] + u_c * tiles[4][g] + v_c * tiles[7][g],
+                            tiles[2][g] + u_c * tiles[5][g] + v_c * tiles[8][g],
+                        ]
                     for k in range(3):   # normal xyz
                         cand.append(a(k) + u_c * a(3 + k) + v_c * a(6 + k))
                     for k in range(3):   # tangent xyz
@@ -1082,7 +1202,8 @@ def _packed_trace(cs: ClusterScene, packed, n_levels, t_min, true_super,
                 # nodes and Mosaic supports scalar loads from VMEM refs
                 *[pl.BlockSpec(memory_space=pltpu.VMEM)]
                 * (n_levels + 2 + len(order_ops)),
-                *[pl.BlockSpec(memory_space=pltpu.VMEM)] * (9 + len(attr_cols)),
+                *[pl.BlockSpec(memory_space=pltpu.VMEM)]
+                * (N_TRI_COLS + len(attr_cols)),
                 ray_spec,
             ],
             out_specs=out_spec,
@@ -1209,12 +1330,25 @@ class PallasTracer(NamedTuple):
             HitAttrs(pos=pos, nrm=nrm, tan=tan, tan_w=tan_w, uv=uv, mat=mat),
         )
 
+    # fused shadow+bounce callers may negate shadow lanes' t_lim for the
+    # kernel's first-hit-kills mode (see _trace_kernel); gate on this so
+    # oracle/alpha tracers (which need closest semantics) are never fed
+    # negative limits
+    @property
+    def anyhit_kill_capable(self) -> bool:
+        return True
+
     def any(self, orig, direction, t_min, t_max):
-        """Any-hit (shadow/visibility); ``t_max`` may be per-ray."""
+        """Any-hit (shadow/visibility); ``t_max`` may be per-ray.
+
+        Limits are negated into the kernel's first-hit-kills mode: a lane
+        stops tracing at its first hit instead of searching for the
+        closest (zero-limit skip lanes stay -0.0 = closest-mode bound 0,
+        i.e. still skipped)."""
         t_lim = jnp.broadcast_to(
             jnp.asarray(t_max, orig.dtype), orig.shape[:1]
         )
-        hit, _, _, _, _ = self._call(orig, direction, t_min, t_lim)
+        hit, _, _, _, _ = self._call(orig, direction, t_min, -jnp.abs(t_lim))
         return hit
 
     def closest_packed(self, rays_packed, t_min):
