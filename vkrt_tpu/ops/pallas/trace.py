@@ -81,6 +81,16 @@ ISECT = os.environ.get("VKRT_ISECT", "mt")
 assert ISECT in ("mt", "bw"), ISECT
 N_TRI_COLS = 12 if ISECT == "bw" else 9
 
+# Key-packed winner selection for the PLAIN (non-resolve) kernel: per
+# 8-triangle group, pack the candidate's member id into the low 3 mantissa
+# bits of its t (bitcast int32 compare — order-preserving for positive
+# floats) and merge ONE key instead of separate t/u/v/idx rows with
+# iota-pick machinery (~11 fewer vector ops per group-row-visit, ~20% of
+# the visit cost). Reported t is then up to 8 ULP above true t; u/v are
+# recomputed OUTSIDE the kernel from the winner's gathered components
+# (shadow pools never read them at all). Env-gated pending measurement.
+KEYPACK = os.environ.get("VKRT_KEYPACK", "0") == "1"
+
 # --- in-kernel attribute resolve -------------------------------------------
 # 26 packed per-corner attribute tables, delta form (a0, a1-a0, a2-a0) so a
 # candidate interpolates with 2 FMAs per component: value = a0 + u*d1 + v*d2.
@@ -841,6 +851,7 @@ def _trace_kernel(n_levels: int, t_min: float, true_super: int,
         nxt += ATTR_TABLES
     rays_ref, out_ref, rowvote_ref = refs[nxt], refs[nxt + 1], refs[nxt + 2]
     out_cols = OUT_COLS_RESOLVE if resolve else OUT_COLS_PLAIN
+    keypack = KEYPACK and not resolve  # see KEYPACK: plain kernels only
 
     rays = rays_ref[:]
     ox = rays[:, 0 * LANES : 1 * LANES]
@@ -910,6 +921,41 @@ def _trace_kernel(n_levels: int, t_min: float, true_super: int,
             idx_row = pltpu.bitcast(
                 out_ref[row : row + 1, LANES : 2 * LANES], jnp.int32
             )
+            if keypack:
+                # merge ONE packed key (t bits | member id in the low 3
+                # mantissa bits) per group instead of t/u/v/idx rows +
+                # iota-pick: int32 compare == float compare for positive
+                # floats, and a kill-lane's -INF bits are the int32
+                # minimum so nothing ever improves it
+                k_row = pltpu.bitcast(t_row, jnp.int32)
+                kill_bits = pltpu.bitcast(
+                    jnp.full((1, LANES), -INF, jnp.float32), jnp.int32
+                )
+                for g in range(CLUSTER // GROUP):
+                    base = c * CLUSTER + g * GROUP
+                    t_c, _, _, _, _ = _isect_group(
+                        tiles, g, oxr, oyr, ozr, dxr, dyr, dzr, t_min
+                    )
+                    key_c = (
+                        pltpu.bitcast(t_c, jnp.int32) & jnp.int32(~7)
+                    ) | sub_iota
+                    kmin = jnp.min(key_c, axis=0, keepdims=True)
+                    improved = kmin < k_row
+                    k_row = jnp.where(
+                        improved,
+                        jnp.where(kill_row, kill_bits, kmin),
+                        k_row,
+                    )
+                    idx_row = jnp.where(
+                        improved, base + (kmin & 7), idx_row
+                    )
+                out_ref[row : row + 1, 0:LANES] = pltpu.bitcast(
+                    k_row, jnp.float32
+                )
+                out_ref[row : row + 1, LANES : 2 * LANES] = pltpu.bitcast(
+                    idx_row, jnp.float32
+                )
+                return
             u_row = out_ref[row : row + 1, 2 * LANES : 3 * LANES]
             v_row = out_ref[row : row + 1, 3 * LANES : 4 * LANES]
             ext = [
@@ -1235,6 +1281,48 @@ def _trace_call_packed(cs: ClusterScene, packed, n_levels, t_min,
                          interpret, resolve, inc_vote)
 
 
+def _slot_flat_index(slot):
+    """Packed slot id -> flat element index into a device column table
+    (inverse of _layout_col's permutation)."""
+    if not _PP:
+        return slot
+    c = slot // CLUSTER
+    g = (slot % CLUSTER) // GROUP
+    s = slot % GROUP
+    return ((c // _CPT) * 8 + s) * LANES + (c % _CPT) * _GPC + g
+
+
+def _uv_from_hit(cs, idx, t, orig, direction):
+    """Recompute the winner's barycentrics in XLA (keypack kernels don't
+    track per-candidate u/v): evaluate the intersector's own functionals
+    at the hit point p = o + t*d. ~8-9 gathered floats per ray — a few ms
+    at frame size vs the ~20%-of-visit-cost the kernel saves."""
+    flat = _slot_flat_index(jnp.maximum(idx, 0))
+
+    def gat(k):
+        return jnp.take(cs.tri_cols[k].reshape(-1), flat)
+
+    p = orig + t[:, None] * direction
+    if ISECT == "bw":
+        u = gat(4) * p[:, 0] + gat(5) * p[:, 1] + gat(6) * p[:, 2] + gat(7)
+        v = gat(8) * p[:, 0] + gat(9) * p[:, 1] + gat(10) * p[:, 2] + gat(11)
+        return u, v
+    v0 = jnp.stack([gat(0), gat(1), gat(2)], axis=-1)
+    e1 = jnp.stack([gat(3), gat(4), gat(5)], axis=-1)
+    e2 = jnp.stack([gat(6), gat(7), gat(8)], axis=-1)
+    w = p - v0
+    d11 = jnp.sum(e1 * e1, axis=-1)
+    d12 = jnp.sum(e1 * e2, axis=-1)
+    d22 = jnp.sum(e2 * e2, axis=-1)
+    dw1 = jnp.sum(w * e1, axis=-1)
+    dw2 = jnp.sum(w * e2, axis=-1)
+    den = d11 * d22 - d12 * d12
+    inv = jnp.where(jnp.abs(den) > 1e-30, 1.0 / den, 0.0)
+    u = (d22 * dw1 - d12 * dw2) * inv
+    v = (d11 * dw2 - d12 * dw1) * inv
+    return u, v
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("n_levels", "t_min", "true_super", "interpret",
@@ -1256,9 +1344,14 @@ def _trace_call(cs: ClusterScene, orig, direction, t_lim, n_levels, t_min,
     idx = jax.lax.bitcast_convert_type(
         out[:, LANES : 2 * LANES], jnp.int32
     ).reshape(-1)[:n]
-    u = col(2)
-    v = col(3)
     hit = idx >= 0
+    if KEYPACK and not resolve:
+        u, v = _uv_from_hit(cs, idx, t, orig[:n], direction[:n])
+        u = jnp.where(hit, u, 0.0)
+        v = jnp.where(hit, v, 0.0)
+    else:
+        u = col(2)
+        v = col(3)
     tri = jnp.take(cs.tri_remap, jnp.maximum(idx, 0))
     base = (hit, jnp.where(hit, t, 0.0), jnp.where(hit, tri, -1), u, v)
     if not resolve:
