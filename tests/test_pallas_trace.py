@@ -88,6 +88,67 @@ def test_anyhit_kill_mixed_pool(box, rng):
     np.testing.assert_array_equal(np.asarray(got.hit)[n:], np.asarray(ref_a))
 
 
+def _load_trace_variant(isect, keypack):
+    """Independent instance of the trace module with the given import-time
+    switches (the production module keeps its own defaults)."""
+    import importlib.util
+    import os
+
+    import vkrt_tpu.ops.pallas.trace as base
+
+    saved = {k: os.environ.get(k) for k in ("VKRT_ISECT", "VKRT_KEYPACK")}
+    os.environ["VKRT_ISECT"] = isect
+    os.environ["VKRT_KEYPACK"] = "1" if keypack else "0"
+    try:
+        spec = importlib.util.spec_from_file_location(
+            f"trace_{isect}_{int(keypack)}", base.__file__
+        )
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        return mod
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v
+
+
+@pytest.mark.parametrize("isect,keypack", [("bw", False), ("mt", True),
+                                           ("bw", True)])
+def test_gated_variants_match_default(box, rng, isect, keypack):
+    """The env-gated kernel variants (Baldwin-Weber intersector, key-packed
+    winner selection) must agree with the production kernel on every hit
+    verdict, with differing triangles only as equal-t ties."""
+    mod = _load_trace_variant(isect, keypack)
+    pt_ref = make_pallas_tracer(box, interpret=True)
+    pt_var = mod.make_pallas_tracer(box, interpret=True)
+    o, d = _rays(600, rng)
+    lim = jnp.asarray(rng.uniform(0.3, 8.0, size=(600,)), jnp.float32)
+    ref = pt_ref.closest(o, d, 1e-3, 1e4)
+    got = pt_var.closest(o, d, 1e-3, 1e4)
+    np.testing.assert_array_equal(np.asarray(got.hit), np.asarray(ref.hit))
+    h = np.asarray(ref.hit)
+    np.testing.assert_allclose(
+        np.asarray(got.t)[h], np.asarray(ref.t)[h], rtol=1e-5, atol=1e-5
+    )
+    same = np.asarray(got.tri)[h] == np.asarray(ref.tri)[h]
+    assert same.mean() > 0.98
+    np.testing.assert_allclose(
+        np.asarray(got.u)[h][same], np.asarray(ref.u)[h][same],
+        rtol=2e-3, atol=2e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got.v)[h][same], np.asarray(ref.v)[h][same],
+        rtol=2e-3, atol=2e-4,
+    )
+    # any-hit verdicts (first-hit-kills path) with per-ray limits
+    np.testing.assert_array_equal(
+        np.asarray(pt_var.any(o, d, 1e-3, lim)),
+        np.asarray(pt_ref.any(o, d, 1e-3, lim)),
+    )
+
+
 def test_pallas_any_matches_oracle(box, rng):
     pt = make_pallas_tracer(box, interpret=True)
     bf = make_tracer(box, "bruteforce")
