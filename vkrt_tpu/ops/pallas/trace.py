@@ -815,8 +815,10 @@ def _trace_kernel(n_levels: int, t_min: float, true_super: int,
                   resolve: bool, inc_vote: bool, *refs):
     """Unified closest/any trace: static super-word scan + voted visits.
 
-    Rays arrive as ONE packed (8, 7*128) block [o.xyz | d.xyz | t_lim] and
-    results leave as ONE packed (8, 4*128) block [t | idx-bits | u | v]: a
+    Rays arrive as ONE packed (8, 7*128) block [o.xyz | d.xyz | t_lim]
+    (t_lim < 0 = first-hit-kills lane with bound |t_lim|; see ``any_kill``)
+    and results leave as ONE packed (8, 4*128) block [t | idx-bits | u | v]
+    (u/v zero under KEYPACK — recomputed by _uv_from_hit outside): a
     single DMA each way (small-block DMA latency was a large share of the
     per-program floor). A lane's ``t_lim`` is both its tMax and, once a hit
     lands, its tightening search bound — "any-hit" lanes simply pass their
