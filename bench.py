@@ -16,12 +16,40 @@ import sys
 import time
 
 
+def _device_watchdog(seconds=600):
+    """Fail fast instead of hanging forever when the axon tunnel has lost
+    its device claim (seen round 3: PJRT make_c_api_client blocks
+    indefinitely; TCP to the relay stays up). A watchdog thread aborts
+    with a diagnostic if backend init hasn't completed in time — an
+    absent JSON line + rc 3 is honest; a fabricated value is not."""
+    import os
+    import threading
+
+    done = threading.Event()
+
+    def watch():
+        if not done.wait(seconds):
+            print(
+                f"[bench] FATAL: no device claim after {seconds}s "
+                "(axon tunnel claim-hang) — aborting without a JSON line",
+                file=sys.stderr, flush=True,
+            )
+            os._exit(3)
+
+    threading.Thread(target=watch, daemon=True).start()
+    return done
+
+
 def main():
     from vkrt_tpu.utils.jaxcache import enable as enable_cache
 
     enable_cache()  # tunnel compiles are 2-10 min; cached reloads are ~30ms
 
     import jax
+
+    claim_ok = _device_watchdog()
+    jax.devices()
+    claim_ok.set()
     import jax.numpy as jnp
     from functools import partial
 
