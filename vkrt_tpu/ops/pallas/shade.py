@@ -219,11 +219,17 @@ def _shade_kernel(
     idx = icol(out_ref, 1)
     hit = idx >= 0
     miss = (~hit & active) | ~active
-    px, py, pz = col(out_ref, 4), col(out_ref, 5), col(out_ref, 6)
-    nrx, nry, nrz = col(out_ref, 7), col(out_ref, 8), col(out_ref, 9)
-    tgx, tgy, tgz = col(out_ref, 10), col(out_ref, 11), col(out_ref, 12)
-    tw = col(out_ref, 13)
-    mat_f = col(out_ref, 16)
+    # hit position = o + t*d (the trace kernel stopped carrying it: 3 FMAs
+    # here replace 3 interpolated ext values per candidate per visit there);
+    # garbage on miss/dead lanes, every consumer below is miss-masked
+    t_hit = col(out_ref, 0)
+    px = col(ray_ref, 0) + t_hit * dx
+    py = col(ray_ref, 1) + t_hit * dy
+    pz = col(ray_ref, 2) + t_hit * dz
+    nrx, nry, nrz = col(out_ref, 4), col(out_ref, 5), col(out_ref, 6)
+    tgx, tgy, tgz = col(out_ref, 7), col(out_ref, 8), col(out_ref, 9)
+    tw = col(out_ref, 10)
+    mat_f = col(out_ref, 13)
 
     # --- surface frame (surface_from_attrs, untextured branch) --------------
     nx, ny, nz = _normalize3(nrx, nry, nrz)

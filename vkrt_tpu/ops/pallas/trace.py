@@ -103,9 +103,12 @@ KEYPACK = os.environ.get("VKRT_KEYPACK", "0") == "1"
 ATTR_TABLES = 26
 # Kernel output block, in LANES-wide column slots:
 #   plain:   [t | idx-bits | u | v]                        (4 cols)
-#   resolve: + [pos xyz | nrm xyz | tan xyz | tw | uu | vv | mat]  (17 cols)
+#   resolve: + [nrm xyz | tan xyz | tw | uu | vv | mat]    (14 cols)
+# (the hit POSITION is NOT carried: it is o + t*d, reconstructed by the
+# consumer from the ray it already has — carrying it cost 3 interpolated
+# ext values per candidate per visit, ~18 vector ops/group)
 OUT_COLS_PLAIN = 4
-OUT_COLS_RESOLVE = 17
+OUT_COLS_RESOLVE = 14
 # Total VMEM the kernel's resident tables may claim before attribute resolve
 # is disabled (geometry cols + attr cols + AABB/order tables must share the
 # ~16 MB/core VMEM with the pipelined ray/out blocks). The 143k-tri city
@@ -996,15 +999,7 @@ def _trace_kernel(n_levels: int, t_min: float, true_super: int,
                             jnp.where(pick, x, 0.0), axis=0, keepdims=True
                         )
 
-                    if h_c is not None:
-                        cand = list(h_c)  # bw: hit point already computed
-                    else:
-                        cand = [
-                            # pos = v0 + u*e1 + v*e2 (the geometry tiles)
-                            tiles[0][g] + u_c * tiles[3][g] + v_c * tiles[6][g],
-                            tiles[1][g] + u_c * tiles[4][g] + v_c * tiles[7][g],
-                            tiles[2][g] + u_c * tiles[5][g] + v_c * tiles[8][g],
-                        ]
+                    cand = []
                     for k in range(3):   # normal xyz
                         cand.append(a(k) + u_c * a(3 + k) + v_c * a(6 + k))
                     for k in range(3):   # tangent xyz
@@ -1358,13 +1353,18 @@ def _trace_call(cs: ClusterScene, orig, direction, t_lim, n_levels, t_min,
     base = (hit, jnp.where(hit, t, 0.0), jnp.where(hit, tri, -1), u, v)
     if not resolve:
         return base
+    # hit position reconstructed from the ray (not carried by the kernel);
+    # zero on miss lanes to keep the HitAttrs contract
+    pos = jnp.where(
+        hit[:, None], orig[:n] + t[:, None] * direction[:n], 0.0
+    )
     attrs = (
-        jnp.stack([col(4), col(5), col(6)], axis=-1),    # pos
-        jnp.stack([col(7), col(8), col(9)], axis=-1),    # nrm (unnormalized)
-        jnp.stack([col(10), col(11), col(12)], axis=-1),  # tan (unnormalized)
-        col(13),                                          # tan w
-        jnp.stack([col(14), col(15)], axis=-1),           # uv
-        col(16).astype(jnp.int32),                        # mat id
+        pos,
+        jnp.stack([col(4), col(5), col(6)], axis=-1),    # nrm (unnormalized)
+        jnp.stack([col(7), col(8), col(9)], axis=-1),    # tan (unnormalized)
+        col(10),                                          # tan w
+        jnp.stack([col(11), col(12)], axis=-1),           # uv
+        col(13).astype(jnp.int32),                        # mat id
     )
     return base + attrs
 
