@@ -32,3 +32,13 @@ timeout 5400 python -m benchmarks.scratch.isect_ab cornell 1280x720 3 \
   > "$LOGDIR/cornell_sweep.log" 2>&1
 echo "$(date -u) cornell sweep rc=$?" >> "$LOGDIR/driver.log"
 echo "$(date -u) DONE" >> "$LOGDIR/driver.log"
+
+echo "$(date -u) reposebench start" >> "$LOGDIR/driver.log"
+timeout 3600 python -m benchmarks.scratch.reposebench 6 \
+  > "$LOGDIR/repose.log" 2>&1
+echo "$(date -u) reposebench rc=$?" >> "$LOGDIR/driver.log"
+
+echo "$(date -u) suite start" >> "$LOGDIR/driver.log"
+timeout 7200 python -m benchmarks.suite > "$LOGDIR/suite.log" 2>&1
+echo "$(date -u) suite rc=$?" >> "$LOGDIR/driver.log"
+echo "$(date -u) ALL DONE" >> "$LOGDIR/driver.log"
