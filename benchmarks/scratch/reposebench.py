@@ -21,17 +21,23 @@ from vkrt_tpu import scene_instances as si
 
 def main():
     frames = int(sys.argv[1]) if len(sys.argv) > 1 else 6
+    res = sys.argv[2] if len(sys.argv) > 2 else "1280x720"
+    w, h = (int(x) for x in res.split("x"))
     inst = si.load_scene_instanced(
-        "/root/reference/media/scenes/cornellBox.gltf"
+        "/root/reference/media/scenes/cornell.gltf"
     )
     eng = Engine(
-        inst, 1280, 720, RenderSettings(rt_mode=1, samples=1, depth=3),
+        inst, w, h, RenderSettings(rt_mode=1, samples=1, depth=3),
     )
     # pick the largest node to move (worst case)
     sizes = [int(r[1] - r[0]) for r in inst.prim_ranges]
     node = int(np.argmax(sizes))
     print(f"cornell: {len(sizes)} nodes; moving node {node} "
-          f"({sizes[node]} tris of {inst.scene.num_tris})")
+          f"({sizes[node]} tris of {inst.scene.num_tris}); "
+          # CPU runs get the oracle backend (not pose-stable: recompiles
+          # per re-pose); the TPU PallasTracer path is the one item 9 asks
+          # about — check this flag when reading the numbers
+          f"pose_stable={eng._pose_stable}")
 
     img = eng.render_frame()
     jax.device_get(img[:1])
