@@ -42,3 +42,9 @@ echo "$(date -u) suite start" >> "$LOGDIR/driver.log"
 timeout 7200 python -m benchmarks.suite > "$LOGDIR/suite.log" 2>&1
 echo "$(date -u) suite rc=$?" >> "$LOGDIR/driver.log"
 echo "$(date -u) ALL DONE" >> "$LOGDIR/driver.log"
+
+# preserve results in the repo (the round driver auto-commits leftovers)
+mkdir -p /root/repo/benchmarks/scratch/logs_r3
+cp -f "$LOGDIR"/*.log "$LOGDIR"/bench.json /root/repo/benchmarks/scratch/logs_r3/ 2>/dev/null
+echo "$(date -u) logs copied into repo" >> "$LOGDIR/driver.log"
+cp -f "$LOGDIR/driver.log" /root/repo/benchmarks/scratch/logs_r3/
