@@ -30,7 +30,7 @@ from vkrt_tpu import scene as scene_mod
 import vkrt_tpu.ops.pallas.trace as T_BASE
 
 KNOBS = ("VKRT_CLUSTER", "VKRT_BLOCK_ROWS", "VKRT_ISECT", "VKRT_KEYPACK",
-         "VKRT_INC_VOTE")
+         "VKRT_INC_VOTE", "VKRT_GROUP_GATE", "VKRT_PURE_ANY")
 
 
 def load_variant(spec: str):
@@ -75,6 +75,7 @@ def main():
     variants = (sys.argv[4] if len(sys.argv) > 4
                 else "CLUSTER=64;CLUSTER=128").split(";")
     w, h = (int(x) for x in res.split("x"))
+    hybrid = which == "hybrid"  # hybrid effects on the city (the .any pool)
     scene = (scene_mod.load_cornell() if which == "cornell"
              else scene_mod.make_city(grid=96))
 
@@ -89,6 +90,7 @@ def main():
     seeds = tea(pid, jnp.uint32(1))
     cam = Camera().matrices(w, h)
     accum = jnp.zeros((n, 3), jnp.float32)
+    accum4 = jnp.zeros((n, 4), jnp.float32)
     clear = jnp.asarray([1.0, 1.0, 1.0, 1.0], jnp.float32)
 
     fns = {}
@@ -97,15 +99,27 @@ def main():
         pt = mod.make_pallas_tracer(scene)
         print(f"[{spec or 'default'}] CLUSTER={mod.CLUSTER} "
               f"BLOCK_ROWS={mod.BLOCK_ROWS} ISECT={mod.ISECT} "
-              f"KEYPACK={mod.KEYPACK} levels={pt.cs.level_counts} "
+              f"KEYPACK={mod.KEYPACK} PURE_ANY={mod.PURE_ANY} "
+              f"levels={pt.cs.level_counts} "
               f"resolve={pt.resolves_attrs}", flush=True)
 
-        def f(pt=pt):
-            out, _ = pathtrace_frame(
-                scene, pt, cam, 1, accum, clear, width=w, height=h,
-                samples=1, depth=depth, pix=pix, seeds=seeds,
-            )
-            return jnp.sum(out[:, 0])
+        if hybrid:
+            from vkrt_tpu.models.hybrid import hybrid_frame
+
+            def f(pt=pt):
+                _, out, _, _ = hybrid_frame(
+                    scene, pt, cam, 1, accum4, clear, width=w, height=h,
+                    depth=depth, use_shadows=True, use_ao=True,
+                    use_gi=True, use_denoiser=False, pix=pix, seeds=seeds,
+                )
+                return jnp.sum(out[:, 0])
+        else:
+            def f(pt=pt):
+                out, _ = pathtrace_frame(
+                    scene, pt, cam, 1, accum, clear, width=w, height=h,
+                    samples=1, depth=depth, pix=pix, seeds=seeds,
+                )
+                return jnp.sum(out[:, 0])
 
         fns[spec] = jax.jit(f)
 

@@ -88,7 +88,7 @@ def test_anyhit_kill_mixed_pool(box, rng):
     np.testing.assert_array_equal(np.asarray(got.hit)[n:], np.asarray(ref_a))
 
 
-def _load_trace_variant(isect, keypack):
+def _load_trace_variant(isect, keypack, group_gate=False):
     """Independent instance of the trace module with the given import-time
     switches (the production module keeps its own defaults)."""
     import importlib.util
@@ -96,12 +96,14 @@ def _load_trace_variant(isect, keypack):
 
     import vkrt_tpu.ops.pallas.trace as base
 
-    saved = {k: os.environ.get(k) for k in ("VKRT_ISECT", "VKRT_KEYPACK")}
+    saved = {k: os.environ.get(k)
+             for k in ("VKRT_ISECT", "VKRT_KEYPACK", "VKRT_GROUP_GATE")}
     os.environ["VKRT_ISECT"] = isect
     os.environ["VKRT_KEYPACK"] = "1" if keypack else "0"
+    os.environ["VKRT_GROUP_GATE"] = "1" if group_gate else "0"
     try:
         spec = importlib.util.spec_from_file_location(
-            f"trace_{isect}_{int(keypack)}", base.__file__
+            f"trace_{isect}_{int(keypack)}_{int(group_gate)}", base.__file__
         )
         mod = importlib.util.module_from_spec(spec)
         spec.loader.exec_module(mod)
@@ -143,6 +145,35 @@ def test_gated_variants_match_default(box, rng, isect, keypack):
         rtol=2e-3, atol=2e-4,
     )
     # any-hit verdicts (first-hit-kills path) with per-ray limits
+    np.testing.assert_array_equal(
+        np.asarray(pt_var.any(o, d, 1e-3, lim)),
+        np.asarray(pt_ref.any(o, d, 1e-3, lim)),
+    )
+
+
+def test_group_gate_matches_default(box, rng):
+    """VKRT_GROUP_GATE=1 (per-row group-AABB gating of the plain kernel's
+    8-triangle-group loop) must be bit-identical on hit/tri and match t/u/v:
+    gating only SKIPS groups whose boxes no ray of the row can reach under
+    its current bound, so the winner per lane is unchanged."""
+    mod = _load_trace_variant("mt", False, group_gate=True)
+    pt_ref = make_pallas_tracer(box, interpret=True)
+    pt_var = mod.make_pallas_tracer(box, interpret=True)
+    o, d = _rays(600, rng)
+    lim = jnp.asarray(rng.uniform(0.3, 8.0, size=(600,)), jnp.float32)
+    # plain (non-resolve) closest: the gated code path
+    ref = pt_ref.closest(o, d, 1e-3, 1e4)
+    got = pt_var.closest(o, d, 1e-3, 1e4)
+    np.testing.assert_array_equal(np.asarray(got.hit), np.asarray(ref.hit))
+    np.testing.assert_array_equal(np.asarray(got.tri), np.asarray(ref.tri))
+    h = np.asarray(ref.hit)
+    np.testing.assert_allclose(
+        np.asarray(got.t)[h], np.asarray(ref.t)[h], rtol=1e-6, atol=1e-7
+    )
+    np.testing.assert_allclose(
+        np.asarray(got.u)[h], np.asarray(ref.u)[h], rtol=1e-6, atol=1e-7
+    )
+    # first-hit-kills any-hit with per-ray limits rides the same gated path
     np.testing.assert_array_equal(
         np.asarray(pt_var.any(o, d, 1e-3, lim)),
         np.asarray(pt_ref.any(o, d, 1e-3, lim)),

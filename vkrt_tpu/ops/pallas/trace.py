@@ -134,6 +134,25 @@ ROW_GATE = os.environ.get("VKRT_ROW_GATE", "1") == "1"
 # granularity (city d=1 bounce pools: 510 visits/block measured).
 INC_VOTE = os.environ.get("VKRT_INC_VOTE", "0") == "1"
 
+# Pure any-hit kernel specialization: pools where EVERY live lane is a
+# first-hit-kills visibility query (PallasTracer.any — the hybrid shadow/AO
+# batch, rgen:81-169) only ever read "idx >= 0", so the per-group winner
+# machinery (is_min/win_sub/pick, u/v merge+stores) is dead weight; the
+# specialized row path keeps the full intersection test but merges just a
+# hit bit. Fused closest+any pools cannot use this (mixed lanes).
+PURE_ANY = os.environ.get("VKRT_PURE_ANY", "1") == "1"
+
+# Group gating (plain kernels): per visited cluster, one vector pass votes
+# every ROW's rays against the cluster's per-8-triangle-GROUP AABBs (the
+# same zero-sync lane-fold+scratch trick as ROW_GATE, one level finer), and
+# each live row then runs only the groups its rays can actually reach —
+# pl.when per group on the row's scratch word. Upfront cost ~_GPC slab
+# votes + 7 lane rolls per visit; saving = the skipped groups' intersection
+# math. Pays when a row's rays cross a cluster's box but only graze a few
+# of its 8-triangle sub-ranges (SAH order makes groups spatially tight
+# sub-runs). Env-gated pending an interleaved on-device A/B.
+GROUP_GATE = os.environ.get("VKRT_GROUP_GATE", "0") == "1"
+
 
 class ClusterScene(NamedTuple):
     """Triangle + vote-tree data packed for the kernel (host-built)."""
@@ -170,6 +189,11 @@ class ClusterScene(NamedTuple):
     # (raytrace.rchit:41-79) done where the RT core does it, replacing ~36
     # floats/lane of gather-bound XLA in the shading stage.
     attr_cols: tuple = ()      # 26 arrays (T_pad//128, 128) f32
+    # per-8-triangle-group AABBs for GROUP_GATE: row c*(CLUSTER//GROUP)+g =
+    # group g of packed cluster c, (minxyz, maxxyz, pad, pad); empty groups
+    # point-encoded at 1e30 (see _build_levels). Always built (cheap numpy);
+    # only DMA'd to VMEM when the gate is on.
+    group_aabb: jnp.ndarray = ()
 
 
 def _inverted_aabb(n):
@@ -394,6 +418,23 @@ def _tri_component_arrays(v0, e1, e2):
     return [np.ascontiguousarray(c, np.float32) for c in comps]
 
 
+def _group_aabbs(v0s, e1s, e2s, valid) -> np.ndarray:
+    """Packed-slot-order geometry -> per-GROUP AABB table (G_total, 8) f32,
+    row c*(CLUSTER//GROUP)+g. Empty groups point-encoded at 1e30."""
+    p1 = v0s + e1s
+    p2 = v0s + e2s
+    lo = np.minimum(np.minimum(v0s, p1), p2)
+    hi = np.maximum(np.maximum(v0s, p1), p2)
+    vm = valid[:, None]
+    lo = np.where(vm, lo, np.inf).reshape(-1, GROUP, 3).min(axis=1)
+    hi = np.where(vm, hi, -np.inf).reshape(-1, GROUP, 3).max(axis=1)
+    out = np.zeros((len(lo), 8), np.float32)
+    out[:, :3] = lo
+    out[:, 3:6] = hi
+    out[lo[:, 0] > hi[:, 0], 0:6] = 1e30  # empty -> unvotable point
+    return out
+
+
 def _pack_cluster_scene(tri_v0, tri_e1, tri_e2, tri_order, cluster_aabb,
                         n_clusters, attrs=None) -> ClusterScene:
     v0 = np.asarray(tri_v0, np.float32)
@@ -403,11 +444,12 @@ def _pack_cluster_scene(tri_v0, tri_e1, tri_e2, tri_order, cluster_aabb,
     safe = np.where(valid, tri_order, 0)
 
     vm = valid[:, None]
-    comps = _tri_component_arrays(
-        np.where(vm, v0[safe], 0.0), np.where(vm, e1[safe], 0.0),
-        np.where(vm, e2[safe], 0.0),
-    )
+    v0s = np.where(vm, v0[safe], 0.0)
+    e1s = np.where(vm, e1[safe], 0.0)
+    e2s = np.where(vm, e2[safe], 0.0)
+    comps = _tri_component_arrays(v0s, e1s, e2s)
     tri_cols = tuple(jnp.asarray(_layout_col(c)) for c in comps)
+    group_aabb = jnp.asarray(_group_aabbs(v0s, e1s, e2s, valid))
     level_aabb, level_order, counts = _build_levels(
         np.asarray(cluster_aabb[:, :6], np.float32)
     )
@@ -426,6 +468,7 @@ def _pack_cluster_scene(tri_v0, tri_e1, tri_e2, tri_order, cluster_aabb,
         sup_oct_aabb=sup_oct_aabb,
         sup_oct_id=sup_oct_id,
         attr_cols=attr_cols,
+        group_aabb=group_aabb,
     )
 
 
@@ -593,6 +636,15 @@ def refit_cluster_scene(cs: ClusterScene, tri_v0, tri_e1, tri_e2,
     hi = np.maximum(np.maximum(c_v0, p1), p2)
     lo = np.where(vld[..., None], lo, np.inf).min(axis=1)
     hi = np.where(vld[..., None], hi, -np.inf).max(axis=1)
+    # group-AABB table rows of the dirty clusters (GROUP_GATE input)
+    fresh_groups = _group_aabbs(
+        c_v0.reshape(-1, 3), c_e1.reshape(-1, 3), c_e2.reshape(-1, 3),
+        vld.reshape(-1),
+    )
+    g_rows = (dc[:, None] * _GPC + np.arange(_GPC)).reshape(-1)
+    group_aabb = jnp.asarray(cs.group_aabb).at[g_rows].set(
+        jnp.asarray(fresh_groups)
+    )
     # rebuild levels from the TRUE cluster count (cs.cluster_aabb is the
     # padded bottom level; feeding the padded length would shift level_counts
     # — a static jit key — and force a recompile)
@@ -620,6 +672,7 @@ def refit_cluster_scene(cs: ClusterScene, tri_v0, tri_e1, tri_e2,
         sup_oct_aabb=sup_oct_aabb,
         sup_oct_id=sup_oct_id,
         attr_cols=new_attr_cols,
+        group_aabb=group_aabb,
     )
 
 
@@ -815,7 +868,8 @@ def _for_each_set_bit(word, body):
 
 
 def _trace_kernel(n_levels: int, t_min: float, true_super: int,
-                  resolve: bool, inc_vote: bool, *refs):
+                  resolve: bool, inc_vote: bool, group_gate: bool,
+                  pure_any: bool, *refs):
     """Unified closest/any trace: static super-word scan + voted visits.
 
     Rays arrive as ONE packed (8, 7*128) block [o.xyz | d.xyz | t_lim]
@@ -848,6 +902,16 @@ def _trace_kernel(n_levels: int, t_min: float, true_super: int,
     if inc_vote and L > 1:
         clu_order = refs[nxt]
         nxt += 1
+    out_cols = OUT_COLS_RESOLVE if resolve else OUT_COLS_PLAIN
+    # see KEYPACK: plain kernels only; a pure-any pool's hit-bit merge is
+    # strictly cheaper than the packed-key merge, so pure_any wins the slot
+    keypack = KEYPACK and not resolve and not pure_any
+    # caller enables group_gate only for plain non-keypack launches
+    use_ggate = group_gate
+    group_ref = None
+    if use_ggate:
+        group_ref = refs[nxt]
+        nxt += 1
     tri_refs = refs[nxt : nxt + N_TRI_COLS]
     nxt += N_TRI_COLS
     attr_refs = ()
@@ -855,8 +919,7 @@ def _trace_kernel(n_levels: int, t_min: float, true_super: int,
         attr_refs = refs[nxt : nxt + ATTR_TABLES]
         nxt += ATTR_TABLES
     rays_ref, out_ref, rowvote_ref = refs[nxt], refs[nxt + 1], refs[nxt + 2]
-    out_cols = OUT_COLS_RESOLVE if resolve else OUT_COLS_PLAIN
-    keypack = KEYPACK and not resolve  # see KEYPACK: plain kernels only
+    groupvote_ref = refs[nxt + 3] if use_ggate else None
 
     rays = rays_ref[:]
     ox = rays[:, 0 * LANES : 1 * LANES]
@@ -914,6 +977,88 @@ def _trace_kernel(n_levels: int, t_min: float, true_super: int,
         tiles = _cluster_tiles(tri_refs, c)
         atiles = _cluster_tiles(attr_refs, c) if resolve else None
 
+        if use_ggate:
+            # one vector pass votes every row's rays against this cluster's
+            # per-group boxes; lane-fold leaves row r's word in all its
+            # lanes, stored so row_work_gated can read it as a scalar
+            t_lim_g = t_best()
+            m = jnp.zeros((BLOCK_ROWS, LANES), jnp.uint32)
+            for g in range(_GPC):
+                hitg = _slab_vote(group_ref, c * _GPC + g,
+                                  ox, oy, oz, ix, iy, iz, t_min, t_lim_g)
+                m = m | jnp.where(hitg, jnp.uint32(1 << g), jnp.uint32(0))
+            for sh in (64, 32, 16, 8, 4, 2, 1):
+                m = m | pltpu.roll(m, sh, 1)
+            groupvote_ref[:] = pltpu.bitcast(m, jnp.int32)
+
+        def row_work_gated(row):
+            """Plain-kernel row work with the group loop gated per set bit
+            of the row's group-vote word. Hit state is read-modified-written
+            per EXECUTED group (pl.when bodies can't carry locals) — ~8
+            extra (1,128) VMEM ops per run group vs the carried version,
+            against ~40 vector ops per skipped group."""
+            gw = groupvote_ref[row, 0]
+            oxr = ox[row : row + 1, :]
+            oyr = oy[row : row + 1, :]
+            ozr = oz[row : row + 1, :]
+            dxr = dx[row : row + 1, :]
+            dyr = dy[row : row + 1, :]
+            dzr = dz[row : row + 1, :]
+            kill_row = any_kill[row : row + 1, :]
+            for g in range(_GPC):
+                def g_body(g=g):
+                    base = c * CLUSTER + g * GROUP
+                    t_row = out_ref[row : row + 1, 0:LANES]
+                    idx_row = pltpu.bitcast(
+                        out_ref[row : row + 1, LANES : 2 * LANES], jnp.int32
+                    )
+                    t_c, u_c, v_c, valid, _ = _isect_group(
+                        tiles, g, oxr, oyr, ozr, dxr, dyr, dzr, t_min
+                    )
+                    t_min_g = jnp.min(t_c, axis=0, keepdims=True)
+                    improved = t_min_g < t_row
+                    if pure_any:
+                        # visibility verdict: park at -INF, any idx >= 0
+                        out_ref[row : row + 1, 0:LANES] = jnp.where(
+                            improved, -INF, t_row
+                        )
+                        out_ref[row : row + 1, LANES : 2 * LANES] = (
+                            pltpu.bitcast(
+                                jnp.where(improved, base, idx_row),
+                                jnp.float32,
+                            )
+                        )
+                        return
+                    u_row = out_ref[row : row + 1, 2 * LANES : 3 * LANES]
+                    v_row = out_ref[row : row + 1, 3 * LANES : 4 * LANES]
+                    is_min = t_c == t_min_g
+                    win_sub = jnp.min(
+                        jnp.where(is_min, sub_iota, GROUP),
+                        axis=0, keepdims=True,
+                    )
+                    pick = sub_iota == win_sub
+                    u_g = jnp.sum(
+                        jnp.where(pick, u_c, 0.0), axis=0, keepdims=True
+                    )
+                    v_g = jnp.sum(
+                        jnp.where(pick, v_c, 0.0), axis=0, keepdims=True
+                    )
+                    out_ref[row : row + 1, 0:LANES] = jnp.where(
+                        improved, jnp.where(kill_row, -INF, t_min_g), t_row
+                    )
+                    out_ref[row : row + 1, LANES : 2 * LANES] = pltpu.bitcast(
+                        jnp.where(improved, base + win_sub, idx_row),
+                        jnp.float32,
+                    )
+                    out_ref[row : row + 1, 2 * LANES : 3 * LANES] = jnp.where(
+                        improved, u_g, u_row
+                    )
+                    out_ref[row : row + 1, 3 * LANES : 4 * LANES] = jnp.where(
+                        improved, v_g, v_row
+                    )
+
+                pl.when(((gw >> g) & 1) != 0)(g_body)
+
         def row_work(row):
             oxr = ox[row : row + 1, :]
             oyr = oy[row : row + 1, :]
@@ -957,6 +1102,21 @@ def _trace_kernel(n_levels: int, t_min: float, true_super: int,
                 out_ref[row : row + 1, 0:LANES] = pltpu.bitcast(
                     k_row, jnp.float32
                 )
+                out_ref[row : row + 1, LANES : 2 * LANES] = pltpu.bitcast(
+                    idx_row, jnp.float32
+                )
+                return
+            if pure_any:
+                for g in range(CLUSTER // GROUP):
+                    base = c * CLUSTER + g * GROUP
+                    t_c, _, _, _, _ = _isect_group(
+                        tiles, g, oxr, oyr, ozr, dxr, dyr, dzr, t_min
+                    )
+                    t_min_g = jnp.min(t_c, axis=0, keepdims=True)
+                    improved = t_min_g < t_row
+                    t_row = jnp.where(improved, -INF, t_row)
+                    idx_row = jnp.where(improved, base, idx_row)
+                out_ref[row : row + 1, 0:LANES] = t_row
                 out_ref[row : row + 1, LANES : 2 * LANES] = pltpu.bitcast(
                     idx_row, jnp.float32
                 )
@@ -1024,15 +1184,16 @@ def _trace_kernel(n_levels: int, t_min: float, true_super: int,
                 for k, e in enumerate(ext):
                     out_ref[row : row + 1, (4 + k) * LANES : (5 + k) * LANES] = e
 
+        work = row_work_gated if use_ggate else row_work
         for row in range(BLOCK_ROWS):  # static unroll: 128 rays per row
             if bit is None:
-                row_work(row)
+                work(row)
             else:
                 # gate the row on its own vote bit: a row whose 128 rays all
                 # missed this cluster's box (under their CURRENT t bounds)
                 # cannot improve and skips its ~280 vector ops
                 live = ((rowvote_ref[row, 0] >> bit) & 1) != 0
-                pl.when(live)(lambda row=row: row_work(row))
+                pl.when(live)(lambda row=row, work=work: work(row))
 
     def t_best():
         return out_ref[:, 0:LANES]
@@ -1214,7 +1375,7 @@ def _chunk_rows(packed, rows):
 
 
 def _packed_trace(cs: ClusterScene, packed, n_levels, t_min, true_super,
-                  interpret, resolve, inc_vote):
+                  interpret, resolve, inc_vote, pure_any=False):
     """Core chunked kernel launch: packed rays (R, 7*128) -> packed hit
     blocks (R, out_cols*128). Shared by the (N,3) API and the fully-packed
     bounce loop (ops.pallas.shade)."""
@@ -1227,14 +1388,25 @@ def _packed_trace(cs: ClusterScene, packed, n_levels, t_min, true_super,
     out_spec = pl.BlockSpec(
         (PROG_ROWS, out_cols * LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
+    # group gating: plain non-keypack kernels only (resolve's attr machinery
+    # keeps carried locals; keypack's single-key merge has its own row path;
+    # pure-any pools disable keypack in-kernel so they may gate)
+    use_ggate = GROUP_GATE and not resolve \
+        and (pure_any or not KEYPACK) \
+        and getattr(cs.group_aabb, "ndim", 0) == 2
     kernel = functools.partial(
-        _trace_kernel, n_levels, t_min, true_super, resolve, inc_vote
+        _trace_kernel, n_levels, t_min, true_super, resolve, inc_vote,
+        use_ggate, pure_any,
     )
     attr_cols = cs.attr_cols if resolve else ()
     # incremental near-to-far votes consume the bottom level_order table
     order_ops = (
         (cs.level_order[-1],) if inc_vote and n_levels > 1 else ()
     )
+    group_ops = (cs.group_aabb,) if use_ggate else ()
+    scratch = [pltpu.VMEM((PROG_ROWS, LANES), jnp.int32)]
+    if use_ggate:
+        scratch.append(pltpu.VMEM((PROG_ROWS, LANES), jnp.int32))
 
     def chunk_body(chunk):
         out = pl.pallas_call(
@@ -1244,7 +1416,7 @@ def _packed_trace(cs: ClusterScene, packed, n_levels, t_min, true_super,
                 # AABB/order tables live in VMEM: SMEM overflows past ~2k
                 # nodes and Mosaic supports scalar loads from VMEM refs
                 *[pl.BlockSpec(memory_space=pltpu.VMEM)]
-                * (n_levels + 2 + len(order_ops)),
+                * (n_levels + 2 + len(order_ops) + len(group_ops)),
                 *[pl.BlockSpec(memory_space=pltpu.VMEM)]
                 * (N_TRI_COLS + len(attr_cols)),
                 ray_spec,
@@ -1253,10 +1425,10 @@ def _packed_trace(cs: ClusterScene, packed, n_levels, t_min, true_super,
             out_shape=jax.ShapeDtypeStruct(
                 (chunk_rows, out_cols * LANES), jnp.float32
             ),
-            scratch_shapes=[pltpu.VMEM((PROG_ROWS, LANES), jnp.int32)],
+            scratch_shapes=scratch,
             interpret=interpret,
         )(*cs.level_aabb, cs.sup_oct_aabb, cs.sup_oct_id, *order_ops,
-          *cs.tri_cols, *attr_cols, chunk)
+          *group_ops, *cs.tri_cols, *attr_cols, chunk)
         # barrier: stop XLA from fusing/holding the frame-sized outputs in
         # scoped VMEM (repeated compile-time VMEM OOMs without it)
         return jax.lax.optimization_barrier(out)
@@ -1323,16 +1495,17 @@ def _uv_from_hit(cs, idx, t, orig, direction):
 @functools.partial(
     jax.jit,
     static_argnames=("n_levels", "t_min", "true_super", "interpret",
-                     "resolve", "inc_vote"),
+                     "resolve", "inc_vote", "pure_any"),
 )
 def _trace_call(cs: ClusterScene, orig, direction, t_lim, n_levels, t_min,
-                true_super, interpret, resolve=False, inc_vote=None):
+                true_super, interpret, resolve=False, inc_vote=None,
+                pure_any=False):
     if inc_vote is None:
         inc_vote = INC_VOTE
     packed, n, rows = _pack_rays(orig, direction, t_lim)
     out_cols = OUT_COLS_RESOLVE if resolve else OUT_COLS_PLAIN
     out = _packed_trace(cs, packed, n_levels, t_min, true_super, interpret,
-                        resolve, inc_vote)
+                        resolve, inc_vote, pure_any=pure_any)
 
     def col(k):
         return out[:, k * LANES : (k + 1) * LANES].reshape(-1)[:n]
@@ -1342,6 +1515,10 @@ def _trace_call(cs: ClusterScene, orig, direction, t_lim, n_levels, t_min,
         out[:, LANES : 2 * LANES], jnp.int32
     ).reshape(-1)[:n]
     hit = idx >= 0
+    if pure_any:
+        # visibility pools only read the hit bit; t/u/v slots are parked
+        return (hit, jnp.zeros_like(t), jnp.where(hit, 0, -1),
+                jnp.zeros_like(t), jnp.zeros_like(t))
     if KEYPACK and not resolve:
         u, v = _uv_from_hit(cs, idx, t, orig[:n], direction[:n])
         u = jnp.where(hit, u, 0.0)
@@ -1382,13 +1559,14 @@ class PallasTracer(NamedTuple):
         """True when ``closest_surface`` is available (attr tables resident)."""
         return bool(self.cs.attr_cols)
 
-    def _call(self, orig, direction, t_min, t_lim, resolve=False):
+    def _call(self, orig, direction, t_min, t_lim, resolve=False,
+              pure_any=False):
         counts = self.cs.level_counts
         true_super = counts[-2] if len(counts) > 1 else counts[-1]
         return _trace_call(
             self.cs, orig, direction, t_lim,
             len(counts), float(t_min), true_super, self.interpret,
-            resolve=resolve, inc_vote=self.inc_vote,
+            resolve=resolve, inc_vote=self.inc_vote, pure_any=pure_any,
         )
 
     def closest(self, orig, direction, t_min, t_max, t_lim=None):
@@ -1439,11 +1617,14 @@ class PallasTracer(NamedTuple):
         Limits are negated into the kernel's first-hit-kills mode: a lane
         stops tracing at its first hit instead of searching for the
         closest (zero-limit skip lanes stay -0.0 = closest-mode bound 0,
-        i.e. still skipped)."""
+        i.e. still skipped). An all-anykill pool additionally runs the
+        PURE_ANY-specialized row path (no winner/u/v machinery)."""
         t_lim = jnp.broadcast_to(
             jnp.asarray(t_max, orig.dtype), orig.shape[:1]
         )
-        hit, _, _, _, _ = self._call(orig, direction, t_min, -jnp.abs(t_lim))
+        hit, _, _, _, _ = self._call(
+            orig, direction, t_min, -jnp.abs(t_lim), pure_any=PURE_ANY
+        )
         return hit
 
     def closest_packed(self, rays_packed, t_min):
@@ -1484,7 +1665,8 @@ def tracer_arrays(pt: PallasTracer):
     buffer per pose, hello_vulkan.cpp:1031-1047)."""
     cs = pt.cs
     return (cs.tri_cols, cs.level_aabb, cs.level_order, cs.cluster_aabb,
-            cs.tri_remap, cs.sup_oct_aabb, cs.sup_oct_id, cs.attr_cols)
+            cs.tri_remap, cs.sup_oct_aabb, cs.sup_oct_id, cs.attr_cols,
+            cs.group_aabb)
 
 
 def tracer_with_arrays(proto: PallasTracer, arrs) -> PallasTracer:
@@ -1494,6 +1676,7 @@ def tracer_with_arrays(proto: PallasTracer, arrs) -> PallasTracer:
         tri_cols=tuple(arrs[0]), level_aabb=tuple(arrs[1]),
         level_order=tuple(arrs[2]), cluster_aabb=arrs[3], tri_remap=arrs[4],
         sup_oct_aabb=arrs[5], sup_oct_id=arrs[6], attr_cols=tuple(arrs[7]),
+        group_aabb=arrs[8],
     )
     return proto._replace(cs=cs)
 
