@@ -30,7 +30,8 @@ from vkrt_tpu import scene as scene_mod
 import vkrt_tpu.ops.pallas.trace as T_BASE
 
 KNOBS = ("VKRT_CLUSTER", "VKRT_BLOCK_ROWS", "VKRT_ISECT", "VKRT_KEYPACK",
-         "VKRT_INC_VOTE", "VKRT_GROUP_GATE", "VKRT_PURE_ANY")
+         "VKRT_INC_VOTE", "VKRT_GROUP_GATE", "VKRT_PURE_ANY",
+         "VKRT_DEFER_RESOLVE")
 
 
 def load_variant(spec: str):

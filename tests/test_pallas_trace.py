@@ -88,7 +88,8 @@ def test_anyhit_kill_mixed_pool(box, rng):
     np.testing.assert_array_equal(np.asarray(got.hit)[n:], np.asarray(ref_a))
 
 
-def _load_trace_variant(isect, keypack, group_gate=False):
+def _load_trace_variant(isect, keypack, group_gate=False, defer=False,
+                        pure_any=False):
     """Independent instance of the trace module with the given import-time
     switches (the production module keeps its own defaults)."""
     import importlib.util
@@ -97,13 +98,18 @@ def _load_trace_variant(isect, keypack, group_gate=False):
     import vkrt_tpu.ops.pallas.trace as base
 
     saved = {k: os.environ.get(k)
-             for k in ("VKRT_ISECT", "VKRT_KEYPACK", "VKRT_GROUP_GATE")}
+             for k in ("VKRT_ISECT", "VKRT_KEYPACK", "VKRT_GROUP_GATE",
+                       "VKRT_DEFER_RESOLVE", "VKRT_PURE_ANY")}
     os.environ["VKRT_ISECT"] = isect
     os.environ["VKRT_KEYPACK"] = "1" if keypack else "0"
     os.environ["VKRT_GROUP_GATE"] = "1" if group_gate else "0"
+    os.environ["VKRT_DEFER_RESOLVE"] = "1" if defer else "0"
+    os.environ["VKRT_PURE_ANY"] = "1" if pure_any else "0"
     try:
         spec = importlib.util.spec_from_file_location(
-            f"trace_{isect}_{int(keypack)}_{int(group_gate)}", base.__file__
+            f"trace_{isect}_{int(keypack)}_{int(group_gate)}_{int(defer)}"
+            f"_{int(pure_any)}",
+            base.__file__,
         )
         mod = importlib.util.module_from_spec(spec)
         spec.loader.exec_module(mod)
@@ -178,6 +184,71 @@ def test_group_gate_matches_default(box, rng):
         np.asarray(pt_var.any(o, d, 1e-3, lim)),
         np.asarray(pt_ref.any(o, d, 1e-3, lim)),
     )
+
+
+def test_pure_any_matches_default(box, rng):
+    """VKRT_PURE_ANY=1 (specialized visibility row path, measured a 1.9%
+    on-device loss and default-gated OFF) must keep the exact hit verdicts
+    of the default kernel on every .any pool, and the shade loop's split
+    shadow pools (closest_packed_plain(pure_any=True)) must keep the idx
+    sign its consumers read."""
+    mod = _load_trace_variant("mt", False, pure_any=True)
+    assert mod.PURE_ANY
+    pt_ref = make_pallas_tracer(box, interpret=True)
+    pt_var = mod.make_pallas_tracer(box, interpret=True)
+    o, d = _rays(700, rng)
+    lim = jnp.asarray(rng.uniform(0.3, 8.0, size=(700,)), jnp.float32)
+    np.testing.assert_array_equal(
+        np.asarray(pt_var.any(o, d, 1e-3, lim)),
+        np.asarray(pt_ref.any(o, d, 1e-3, lim)),
+    )
+    # packed shadow-pool form: only the idx column's sign is contractual
+    packed, n, _ = mod._pack_rays(o, d, -lim)
+    out_v = pt_var.closest_packed_plain(packed, 1e-3, pure_any=True)
+    out_r = pt_ref.closest_packed_plain(packed, 1e-3)
+    hit_v = (np.asarray(out_v[:, 128:256]).view(np.int32) >= 0)
+    hit_r = (np.asarray(out_r[:, 128:256]).view(np.int32) >= 0)
+    np.testing.assert_array_equal(
+        hit_v.reshape(-1)[:n], hit_r.reshape(-1)[:n]
+    )
+
+
+def test_defer_resolve_matches_default(box, rng):
+    """VKRT_DEFER_RESOLVE=1 (phase-B winner-identity attr interpolation,
+    gated per improved row-visit) must be BIT-identical to the default
+    per-visit resolve: the picked candidate interpolates with the same
+    u, v and delta-form corner values in the same FMA order, and unpicked
+    candidates are zeroed by the same pick-sum."""
+    mod = _load_trace_variant("mt", False, defer=True)
+    pt_ref = make_pallas_tracer(box, interpret=True)
+    pt_var = mod.make_pallas_tracer(box, interpret=True)
+    assert pt_ref.resolves_attrs and pt_var.resolves_attrs
+    o, d = _rays(800, rng)
+    hi_r, at_r = pt_ref.closest_surface(o, d, 1e-3, 1e4)
+    hi_v, at_v = pt_var.closest_surface(o, d, 1e-3, 1e4)
+    np.testing.assert_array_equal(np.asarray(hi_v.hit), np.asarray(hi_r.hit))
+    np.testing.assert_array_equal(np.asarray(hi_v.tri), np.asarray(hi_r.tri))
+    np.testing.assert_array_equal(np.asarray(hi_v.t), np.asarray(hi_r.t))
+    np.testing.assert_array_equal(np.asarray(hi_v.u), np.asarray(hi_r.u))
+    for fld in at_r._fields:
+        np.testing.assert_array_equal(
+            np.asarray(getattr(at_v, fld)), np.asarray(getattr(at_r, fld)),
+            err_msg=fld,
+        )
+    # fused closest+any pools (per-lane negative limits) ride the same
+    # deferred path: killed lanes keep their first hit's attrs
+    lim = jnp.asarray(rng.uniform(0.5, 8.0, size=(800,)), jnp.float32)
+    lim = jnp.where(jnp.arange(800) % 2 == 0, -lim, lim)
+    hi_r2, at_r2 = pt_ref.closest_surface(o, d, 1e-3, 1e4, t_lim=lim)
+    hi_v2, at_v2 = pt_var.closest_surface(o, d, 1e-3, 1e4, t_lim=lim)
+    np.testing.assert_array_equal(
+        np.asarray(hi_v2.hit), np.asarray(hi_r2.hit)
+    )
+    for fld in at_r2._fields:
+        np.testing.assert_array_equal(
+            np.asarray(getattr(at_v2, fld)),
+            np.asarray(getattr(at_r2, fld)), err_msg=fld,
+        )
 
 
 def test_pallas_any_matches_oracle(box, rng):

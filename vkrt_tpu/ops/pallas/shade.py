@@ -658,13 +658,15 @@ def bounce_chain_packed(
                 carry_blk[:, C_ACTIVE * LANES : (C_ACTIVE + 1) * LANES]
             )
             ray_cur = next_rays
-            out_sh = tracer.closest_packed_plain(shadow_rays, t_min)
+            out_sh = tracer.closest_packed_plain(
+                shadow_rays, t_min, pure_any=True
+            )
         else:
             ray_cur = shadow_rays  # final shadow-only trace
         first = False
 
     # final shadow verdicts + epilogue (lane-dense XLA on column slots)
-    out_last = tracer.closest_packed_plain(ray_cur, t_min)
+    out_last = tracer.closest_packed_plain(ray_cur, t_min, pure_any=True)
     sh_hit = (
         jax.lax.bitcast_convert_type(
             out_last[:, LANES : 2 * LANES], jnp.int32

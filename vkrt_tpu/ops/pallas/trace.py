@@ -140,7 +140,26 @@ INC_VOTE = os.environ.get("VKRT_INC_VOTE", "0") == "1"
 # machinery (is_min/win_sub/pick, u/v merge+stores) is dead weight; the
 # specialized row path keeps the full intersection test but merges just a
 # hit bit. Fused closest+any pools cannot use this (mixed lanes).
-PURE_ANY = os.environ.get("VKRT_PURE_ANY", "1") == "1"
+# MEASURED A 1.9% LOSS on the hybrid-city interleaved A/B (1143.6 vs
+# 1122.1 ms) despite strictly fewer ops per group — the same Mosaic
+# codegen lesson as BW/keypack/group-gate: the visit loop is not bound by
+# the winner-merge ops the specialization removes. Default off.
+PURE_ANY = os.environ.get("VKRT_PURE_ANY", "0") == "1"
+
+# Deferred winner resolve (resolve kernels): the attr interpolation
+# (13 ext values x 2-FMA + pick-sum, ~1.7x the intersection math) currently
+# runs for EVERY group of EVERY visit even though a row's winner changes
+# only a handful of times per launch (~2-4 of ~35 visits on Cornell bounce
+# pools). Deferred mode runs phase A as the PLAIN merge (t/idx/u/v) while
+# OR-accumulating a per-row improved mask, then a pl.when-gated phase B per
+# improved row-visit resolves attributes by exact winner identity
+# (idx == base + member) using the already-merged u/v — no intersection
+# recompute, no per-visit attr-tile extraction, bit-identical ext values
+# (the picked candidate interpolates with the same u,v,a,d1,d2 in the same
+# FMA order; unpicked candidates are zeroed by the same pick-sum).
+# Cost: 7 lane rolls + 1 scalar read per live row-visit (the rowvote fold
+# pattern). Env-gated pending an interleaved on-device A/B.
+DEFER_RESOLVE = os.environ.get("VKRT_DEFER_RESOLVE", "0") == "1"
 
 # Group gating (plain kernels): per visited cluster, one vector pass votes
 # every ROW's rays against the cluster's per-8-triangle-GROUP AABBs (the
@@ -869,7 +888,7 @@ def _for_each_set_bit(word, body):
 
 def _trace_kernel(n_levels: int, t_min: float, true_super: int,
                   resolve: bool, inc_vote: bool, group_gate: bool,
-                  pure_any: bool, *refs):
+                  pure_any: bool, defer: bool, *refs):
     """Unified closest/any trace: static super-word scan + voted visits.
 
     Rays arrive as ONE packed (8, 7*128) block [o.xyz | d.xyz | t_lim]
@@ -919,7 +938,11 @@ def _trace_kernel(n_levels: int, t_min: float, true_super: int,
         attr_refs = refs[nxt : nxt + ATTR_TABLES]
         nxt += ATTR_TABLES
     rays_ref, out_ref, rowvote_ref = refs[nxt], refs[nxt + 1], refs[nxt + 2]
-    groupvote_ref = refs[nxt + 3] if use_ggate else None
+    # one extra scratch word slot, shared: group-vote words (plain gated
+    # kernels) or the per-row improved mask (deferred resolve) — the caller
+    # enables at most one of the two per launch
+    aux_ref = refs[nxt + 3] if (use_ggate or defer) else None
+    groupvote_ref = aux_ref if use_ggate else None
 
     rays = rays_ref[:]
     ox = rays[:, 0 * LANES : 1 * LANES]
@@ -975,7 +998,9 @@ def _trace_kernel(n_levels: int, t_min: float, true_super: int,
         with the same pick mask as u/v.
         """
         tiles = _cluster_tiles(tri_refs, c)
-        atiles = _cluster_tiles(attr_refs, c) if resolve else None
+        # deferred resolve extracts attr tiles only inside phase B (per
+        # improved row-visit), not once per visit
+        atiles = _cluster_tiles(attr_refs, c) if resolve and not defer else None
 
         if use_ggate:
             # one vector pass votes every row's rays against this cluster's
@@ -1123,6 +1148,99 @@ def _trace_kernel(n_levels: int, t_min: float, true_super: int,
                 return
             u_row = out_ref[row : row + 1, 2 * LANES : 3 * LANES]
             v_row = out_ref[row : row + 1, 3 * LANES : 4 * LANES]
+            if resolve and defer:
+                # ---- phase A: plain merge + OR-accumulated improved mask
+                imp = jnp.zeros((1, LANES), jnp.int32)
+                for g in range(CLUSTER // GROUP):
+                    base = c * CLUSTER + g * GROUP
+                    t_c, u_c, v_c, _, _ = _isect_group(
+                        tiles, g, oxr, oyr, ozr, dxr, dyr, dzr, t_min
+                    )
+                    t_min_g = jnp.min(t_c, axis=0, keepdims=True)
+                    is_min = t_c == t_min_g
+                    win_sub = jnp.min(
+                        jnp.where(is_min, sub_iota, GROUP),
+                        axis=0, keepdims=True,
+                    )
+                    pick = sub_iota == win_sub
+                    u_g = jnp.sum(
+                        jnp.where(pick, u_c, 0.0), axis=0, keepdims=True
+                    )
+                    v_g = jnp.sum(
+                        jnp.where(pick, v_c, 0.0), axis=0, keepdims=True
+                    )
+                    improved = t_min_g < t_row
+                    imp = imp | jnp.where(improved, 1, 0)
+                    t_row = jnp.where(
+                        improved, jnp.where(kill_row, -INF, t_min_g), t_row
+                    )
+                    idx_row = jnp.where(improved, base + win_sub, idx_row)
+                    u_row = jnp.where(improved, u_g, u_row)
+                    v_row = jnp.where(improved, v_g, v_row)
+                out_ref[row : row + 1, 0:LANES] = t_row
+                out_ref[row : row + 1, LANES : 2 * LANES] = pltpu.bitcast(
+                    idx_row, jnp.float32
+                )
+                out_ref[row : row + 1, 2 * LANES : 3 * LANES] = u_row
+                out_ref[row : row + 1, 3 * LANES : 4 * LANES] = v_row
+                # lane-fold so lane 0 holds the row's any-improved word
+                for sh in (64, 32, 16, 8, 4, 2, 1):
+                    imp = imp | pltpu.roll(imp, sh, 1)
+                aux_ref[row : row + 1, :] = imp
+
+                def resolve_body(row=row, c=c):
+                    # ---- phase B: interpolate the attrs of THIS row's
+                    # winners that live in cluster c, picked by exact
+                    # winner identity with the already-merged u/v — runs
+                    # only when this visit improved the row
+                    atl = _cluster_tiles(attr_refs, c)
+                    idx_r = pltpu.bitcast(
+                        out_ref[row : row + 1, LANES : 2 * LANES], jnp.int32
+                    )
+                    u_r = out_ref[row : row + 1, 2 * LANES : 3 * LANES]
+                    v_r = out_ref[row : row + 1, 3 * LANES : 4 * LANES]
+                    ext = [
+                        out_ref[row : row + 1, k * LANES : (k + 1) * LANES]
+                        for k in range(4, out_cols)
+                    ]
+                    for g in range(CLUSTER // GROUP):
+                        base = c * CLUSTER + g * GROUP
+                        in_g = (idx_r >= base) & (idx_r < base + GROUP)
+                        pick = idx_r == base + sub_iota
+
+                        def a(i, g=g):
+                            return atl[i][g]
+
+                        def psum(x):
+                            return jnp.sum(
+                                jnp.where(pick, x, 0.0),
+                                axis=0, keepdims=True,
+                            )
+
+                        cand = []
+                        for k in range(3):   # normal xyz
+                            cand.append(
+                                a(k) + u_r * a(3 + k) + v_r * a(6 + k)
+                            )
+                        for k in range(3):   # tangent xyz
+                            cand.append(
+                                a(9 + k) + u_r * a(12 + k) + v_r * a(15 + k)
+                            )
+                        cand.append(a(18))                          # tan w
+                        cand.append(a(19) + u_r * a(20) + v_r * a(21))  # u
+                        cand.append(a(22) + u_r * a(23) + v_r * a(24))  # v
+                        cand.append(a(25))                          # mat id
+                        ext = [
+                            jnp.where(in_g, psum(x), e)
+                            for x, e in zip(cand, ext)
+                        ]
+                    for k, e in enumerate(ext):
+                        out_ref[
+                            row : row + 1, (4 + k) * LANES : (5 + k) * LANES
+                        ] = e
+
+                pl.when(aux_ref[row, 0] != 0)(resolve_body)
+                return
             ext = [
                 out_ref[row : row + 1, k * LANES : (k + 1) * LANES]
                 for k in range(4, out_cols)
@@ -1394,9 +1512,10 @@ def _packed_trace(cs: ClusterScene, packed, n_levels, t_min, true_super,
     use_ggate = GROUP_GATE and not resolve \
         and (pure_any or not KEYPACK) \
         and getattr(cs.group_aabb, "ndim", 0) == 2
+    use_defer = DEFER_RESOLVE and resolve
     kernel = functools.partial(
         _trace_kernel, n_levels, t_min, true_super, resolve, inc_vote,
-        use_ggate, pure_any,
+        use_ggate, pure_any, use_defer,
     )
     attr_cols = cs.attr_cols if resolve else ()
     # incremental near-to-far votes consume the bottom level_order table
@@ -1405,7 +1524,7 @@ def _packed_trace(cs: ClusterScene, packed, n_levels, t_min, true_super,
     )
     group_ops = (cs.group_aabb,) if use_ggate else ()
     scratch = [pltpu.VMEM((PROG_ROWS, LANES), jnp.int32)]
-    if use_ggate:
+    if use_ggate or use_defer:
         scratch.append(pltpu.VMEM((PROG_ROWS, LANES), jnp.int32))
 
     def chunk_body(chunk):
@@ -1440,14 +1559,15 @@ def _packed_trace(cs: ClusterScene, packed, n_levels, t_min, true_super,
 @functools.partial(
     jax.jit,
     static_argnames=("n_levels", "t_min", "true_super", "interpret",
-                     "resolve", "inc_vote"),
+                     "resolve", "inc_vote", "pure_any"),
 )
 def _trace_call_packed(cs: ClusterScene, packed, n_levels, t_min,
-                       true_super, interpret, resolve=True, inc_vote=None):
+                       true_super, interpret, resolve=True, inc_vote=None,
+                       pure_any=False):
     if inc_vote is None:
         inc_vote = INC_VOTE
     return _packed_trace(cs, packed, n_levels, t_min, true_super,
-                         interpret, resolve, inc_vote)
+                         interpret, resolve, inc_vote, pure_any=pure_any)
 
 
 def _slot_flat_index(slot):
@@ -1640,17 +1760,23 @@ class PallasTracer(NamedTuple):
             self.interpret, resolve=True, inc_vote=self.inc_vote,
         )
 
-    def closest_packed_plain(self, rays_packed, t_min):
+    def closest_packed_plain(self, rays_packed, t_min, pure_any=False):
         """Packed trace WITHOUT attribute resolve: (R, 7*128) rays ->
         (R, OUT_COLS_PLAIN*128) [t|idx|u|v]. Shadow/visibility pools use
         this — resolve's per-visit tile machinery (26 attr tiles + winner
         interpolation) measured 2x the whole plain traversal on incoherent
-        pools, and a shadow verdict only reads idx >= 0."""
+        pools, and a shadow verdict only reads idx >= 0.
+
+        ``pure_any``: caller asserts every live lane is a first-hit-kills
+        visibility query whose consumer only reads "idx >= 0" (the shade
+        loop's split shadow pools) — runs the PURE_ANY-specialized row path
+        (no winner/u/v machinery; t parks at -INF on hit)."""
         counts = self.cs.level_counts
         true_super = counts[-2] if len(counts) > 1 else counts[-1]
         return _trace_call_packed(
             self.cs, rays_packed, len(counts), float(t_min), true_super,
             self.interpret, resolve=False, inc_vote=self.inc_vote,
+            pure_any=pure_any and PURE_ANY,
         )
 
 
