@@ -365,7 +365,7 @@ def _dirty_rows(dirty_clusters: np.ndarray) -> np.ndarray:
     return np.repeat(tile_dirty, 8)
 
 
-def _pack_attr_cols(tri_order, attrs, sel=None) -> tuple:
+def _pack_attr_cols(tri_order, attrs, sel=None, as_numpy=False) -> tuple:
     """Pack per-corner attributes into 26 delta-form column tables (see
     ATTR_TABLES for the layout), reordered by the packed slot order.
 
@@ -394,12 +394,13 @@ def _pack_attr_cols(tri_order, attrs, sel=None) -> tuple:
                  cu[:, 2, j] - cu[:, 0, j]]
     srcs.append(tm)
     assert len(srcs) == ATTR_TABLES
-    return tuple(
-        jnp.asarray(_layout_col(
-            np.where(valid, s, 0.0).astype(np.float32)
-        ))
+    cols = tuple(
+        _layout_col(np.where(valid, s, 0.0).astype(np.float32))
         for s in srcs
     )
+    if as_numpy:
+        return cols
+    return tuple(jnp.asarray(c) for c in cols)
 
 
 def _tri_component_arrays(v0, e1, e2):
@@ -571,6 +572,23 @@ def _build_cluster_scene_morton(tri_v0, tri_e1, tri_e2, attrs=None) -> ClusterSc
                                cluster_aabb, n_clusters_pad, attrs)
 
 
+@jax.jit
+def _apply_refit(tri_cols, attr_cols, group_aabb, r_idx, fresh_tri,
+                 fresh_attr, g_rows, fresh_groups):
+    """ONE jitted dispatch for every refit scatter (9 tri cols + 26 attr
+    cols + the group-AABB table): each .at[rows].set was a separate
+    device round trip before — the dominant re-pose cost through the
+    high-latency device link."""
+    new_tri = tuple(
+        c.at[r_idx].set(fresh_tri[i]) for i, c in enumerate(tri_cols)
+    )
+    new_attr = tuple(
+        c.at[r_idx].set(fresh_attr[i]) for i, c in enumerate(attr_cols)
+    )
+    new_group = group_aabb.at[g_rows].set(fresh_groups)
+    return new_tri, new_attr, new_group
+
+
 def refit_cluster_scene(cs: ClusterScene, tri_v0, tri_e1, tri_e2,
                         moved: np.ndarray, attrs=None) -> ClusterScene:
     """Refit the cluster scene after a subset of triangles moved.
@@ -620,25 +638,20 @@ def refit_cluster_scene(cs: ClusterScene, tri_v0, tri_e1, tri_e2,
         np.where(vm, v0[ssel], 0.0), np.where(vm, e1[ssel], 0.0),
         np.where(vm, e2[ssel], 0.0),
     )
-    new_cols = []
-    for fresh, colarr in zip(comps, cs.tri_cols):
-        fresh_rows = _layout_col(fresh)  # (len(r_idx), LANES)
-        colarr = jnp.asarray(colarr).at[r_idx].set(jnp.asarray(fresh_rows))
-        new_cols.append(colarr)
+    fresh_tri = np.stack([_layout_col(c) for c in comps])  # (9|12, R, 128)
 
     # attribute columns move with the geometry (normals/tangents rotate
     # under a re-pose); refresh the dirty rows from the caller's updated
     # corner arrays. A resolving scene MUST pass attrs or the kernel would
     # shade moved triangles with stale frames.
-    new_attr_cols = cs.attr_cols
     if cs.attr_cols:
         assert attrs is not None, \
             "refit of an attribute-resolving ClusterScene needs attrs"
-        fresh_attrs = _pack_attr_cols(order, attrs, sel=sel)
-        new_attr_cols = tuple(
-            jnp.asarray(old).at[r_idx].set(fresh)
-            for old, fresh in zip(cs.attr_cols, fresh_attrs)
-        )
+        fresh_attr = np.stack(
+            _pack_attr_cols(order, attrs, sel=sel, as_numpy=True)
+        )  # (26, R, 128)
+    else:
+        fresh_attr = np.zeros((0, len(r_idx), LANES), np.float32)
 
     # recompute DIRTY clusters' AABBs only (slots of a cluster are
     # contiguous in packed order)
@@ -661,9 +674,14 @@ def refit_cluster_scene(cs: ClusterScene, tri_v0, tri_e1, tri_e2,
         vld.reshape(-1),
     )
     g_rows = (dc[:, None] * _GPC + np.arange(_GPC)).reshape(-1)
-    group_aabb = jnp.asarray(cs.group_aabb).at[g_rows].set(
-        jnp.asarray(fresh_groups)
+    new_cols, new_attr_cols, group_aabb = _apply_refit(
+        tuple(cs.tri_cols), tuple(cs.attr_cols), cs.group_aabb,
+        jnp.asarray(r_idx), jnp.asarray(fresh_tri),
+        jnp.asarray(fresh_attr), jnp.asarray(g_rows),
+        jnp.asarray(fresh_groups),
     )
+    if not cs.attr_cols:
+        new_attr_cols = ()
     # rebuild levels from the TRUE cluster count (cs.cluster_aabb is the
     # padded bottom level; feeding the padded length would shift level_counts
     # — a static jit key — and force a recompile)

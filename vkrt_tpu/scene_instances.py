@@ -23,19 +23,28 @@ This module restores the capability the TPU-native way:
 from __future__ import annotations
 
 import copy
-from typing import NamedTuple, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from vkrt_tpu import scene as scene_mod
 from vkrt_tpu.utils import gltf as gltf_mod
+
+# Host mirrors kept per InstancedScene so a re-pose never round-trips
+# device arrays back through the (high-latency) device link: refit math
+# runs on these numpy copies, the device only receives the final spliced
+# updates. Keys are SceneArrays field names.
+_HOST_FIELDS = ("tri_v0", "tri_e1", "tri_e2", "corner_normal",
+                "corner_tangent", "corner_uv", "tri_mat")
 
 
 class InstancedScene(NamedTuple):
     scene: scene_mod.SceneArrays
     doc: gltf_mod.GltfDocument            # object-space source of truth
     prim_ranges: Tuple[Tuple[int, int], ...]  # per-primitive [start, end) tris
+    host: Optional[dict] = None           # numpy mirrors (_HOST_FIELDS)
 
     @property
     def num_nodes(self) -> int:
@@ -50,7 +59,20 @@ def build_instanced(doc: gltf_mod.GltfDocument) -> InstancedScene:
         n = prim.indices.size // 3
         ranges.append((start, start + n))
         start += n
-    return InstancedScene(scene=scene, doc=doc, prim_ranges=tuple(ranges))
+    host = {k: np.asarray(getattr(scene, k)) for k in _HOST_FIELDS}
+    return InstancedScene(scene=scene, doc=doc, prim_ranges=tuple(ranges),
+                          host=host)
+
+
+@jax.jit
+def _splice_device(arrs, ups, s):
+    """ONE jitted dispatch for all per-node scene-array splices (each
+    .at[s:e].set was a separate device round trip before)."""
+    out = []
+    for a, u in zip(arrs, ups):
+        idx = (s,) + (0,) * (a.ndim - 1)
+        out.append(jax.lax.dynamic_update_slice(a, u.astype(a.dtype), idx))
+    return tuple(out)
 
 
 def load_scene_instanced(path: str) -> InstancedScene:
@@ -81,17 +103,32 @@ def repose(inst: InstancedScene, prim_idx: int,
     density = scene_mod._uv_density(v0, v1, v2, cuv.astype(np.float32))
 
     sc = inst.scene
-    sc = sc._replace(
-        tri_v0=sc.tri_v0.at[s:e].set(jnp.asarray(v0)),
-        tri_e1=sc.tri_e1.at[s:e].set(jnp.asarray(e1)),
-        tri_e2=sc.tri_e2.at[s:e].set(jnp.asarray(e2)),
-        corner_normal=sc.corner_normal.at[s:e].set(jnp.asarray(cn, sc.corner_normal.dtype)),
-        corner_tangent=sc.corner_tangent.at[s:e].set(jnp.asarray(ctg, sc.corner_tangent.dtype)),
-        tri_uv_density=sc.tri_uv_density.at[s:e].set(jnp.asarray(density)),
+    names = ("tri_v0", "tri_e1", "tri_e2", "corner_normal",
+             "corner_tangent", "tri_uv_density")
+    fresh = (v0, e1, e2, cn, ctg, density)
+    spliced = _splice_device(
+        tuple(getattr(sc, k) for k in names),
+        tuple(jnp.asarray(f) for f in fresh),
+        jnp.int32(s),
     )
+    sc = sc._replace(**dict(zip(names, spliced)))
+
+    # keep the host mirrors in sync (copy-on-write: old InstancedScene
+    # objects stay valid) so the tracer refit never pulls device arrays
+    host = None
+    if inst.host is not None:
+        host = dict(inst.host)
+        for k, f in zip(names[:5], fresh[:5]):
+            a = host[k].copy()
+            a[s:e] = np.asarray(f, a.dtype)
+            host[k] = a
     moved = np.zeros(sc.tri_v0.shape[0], bool)
     moved[s:e] = True
-    return InstancedScene(scene=sc, doc=doc, prim_ranges=inst.prim_ranges), moved
+    return (
+        InstancedScene(scene=sc, doc=doc, prim_ranges=inst.prim_ranges,
+                       host=host),
+        moved,
+    )
 
 
 def repose_tracer(tracer, inst: InstancedScene, moved: np.ndarray):
@@ -113,10 +150,15 @@ def repose_tracer(tracer, inst: InstancedScene, moved: np.ndarray):
             seed=tracer.seed,
         )
     if isinstance(tracer, PallasTracer):
+        # prefer the host mirrors: the refit math then runs pull-free on
+        # numpy and only the final fused scatter touches the device
+        src = inst.host if inst.host is not None else {
+            k: getattr(sc, k) for k in _HOST_FIELDS
+        }
         cs = refit_cluster_scene(
-            tracer.cs, sc.tri_v0, sc.tri_e1, sc.tri_e2, moved,
-            attrs=(sc.corner_normal, sc.corner_tangent, sc.corner_uv,
-                   sc.tri_mat),
+            tracer.cs, src["tri_v0"], src["tri_e1"], src["tri_e2"], moved,
+            attrs=(src["corner_normal"], src["corner_tangent"],
+                   src["corner_uv"], src["tri_mat"]),
         )
         return tracer._replace(cs=cs)
     if isinstance(tracer, Tracer):
