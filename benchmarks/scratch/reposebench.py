@@ -66,6 +66,13 @@ def main():
     print(f"animated frame        : {anim:8.1f} ms "
           f"(repose host cost {np.mean(reposes):.1f} ms/frame, "
           f"min {min(reposes):.1f} max {max(reposes):.1f})")
+    # frame 0 pays the one-time _splice_device/_apply_refit compiles; the
+    # animation-loop cost is the steady state
+    print("repose per frame (ms) : "
+          + " ".join(f"{r:.1f}" for r in reposes))
+    if len(reposes) > 2:
+        print(f"steady-state repose   : {np.mean(reposes[1:]):8.1f} ms "
+              f"(vs static frame {base:.1f} ms)")
 
 
 if __name__ == "__main__":

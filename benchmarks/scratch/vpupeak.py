@@ -25,22 +25,35 @@ from vkrt_tpu.utils import jaxcache
 
 jaxcache.enable()
 
-K = int(sys.argv[1]) if len(sys.argv) > 1 else 512
-TILES = int(sys.argv[2]) if len(sys.argv) > 2 else 4096
+K = int(sys.argv[1]) if len(sys.argv) > 1 else 65536
+TILES = int(sys.argv[2]) if len(sys.argv) > 2 else 64
 REPS = int(sys.argv[3]) if len(sys.argv) > 3 else 20
 ROWS = 8
 LANES = 128
+UNROLL = 64  # FMA vregs per fori iteration (8 chains x 8 deep)
 
 
 def kernel(x_ref, o_ref):
     x = x_ref[:]
     # 8 independent accumulator chains so the FMA latency pipelines;
-    # multipliers chosen so values stay O(1) (no inf/denormal stalls)
-    accs = [x * (0.9 + 0.01 * i) for i in range(8)]
+    # multipliers chosen so values stay O(1) (no inf/denormal stalls).
+    # K must be large enough that per-program overhead (DMA + launch,
+    # ~10-30us through the tunnel) is noise: a 512-FMA version measured
+    # 0.06 G vreg-FMA/s — pure overhead, not the VPU.
     c = 1.0000001
-    for i in range(K // 8):
-        for j in range(8):
-            accs[j] = accs[j] * c + 1e-7
+
+    def step(accs):
+        return tuple(a * c + 1e-7 for a in accs)
+
+    def body(_, accs):
+        for _ in range(UNROLL // 8):  # 8 chains x 8 deep per iteration
+            accs = step(accs)
+        return accs
+
+    accs = jax.lax.fori_loop(
+        0, K // UNROLL, body,
+        tuple(x * (0.9 + 0.01 * i) for i in range(8)),
+    )
     out = accs[0]
     for a in accs[1:]:
         out = out + a
@@ -68,7 +81,7 @@ def main():
         out = run(x)
     jax.device_get(out)
     dt = (time.perf_counter() - t0) / REPS
-    fma_vregs = (K // 8) * 8 * TILES  # per rep, (8,128)-shaped FMA ops
+    fma_vregs = (K // UNROLL) * UNROLL * TILES  # per rep, (8,128) FMA ops
     flops = fma_vregs * ROWS * LANES * 2  # 2 flops per FMA lane
     print(f"K={K} TILES={TILES}: {dt*1e3:.3f} ms/rep")
     print(f"achieved: {fma_vregs/dt/1e9:.2f} G vreg-FMA/s "

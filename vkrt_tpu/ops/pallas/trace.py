@@ -39,6 +39,7 @@ slices one (8, 128) tile per program — fully pipelined by Mosaic.
 
 from __future__ import annotations
 
+import collections
 import functools
 from typing import NamedTuple
 
@@ -572,6 +573,26 @@ def _build_cluster_scene_morton(tri_v0, tri_e1, tri_e2, attrs=None) -> ClusterSc
                                cluster_aabb, n_clusters_pad, attrs)
 
 
+# Bounded host-side mirror cache for the two refit inputs that otherwise
+# round-trip FROM the device every re-pose (tri_remap never changes across
+# refits; cluster_aabb is re-seeded with the host copy of each refit's own
+# output). Entries hold the device array itself, so ids stay valid.
+_REFIT_NP_CACHE = collections.OrderedDict()
+
+
+def _cached_np(arr, compute, limit=8):
+    key = id(arr)
+    ent = _REFIT_NP_CACHE.get(key)
+    if ent is not None and ent[0] is arr:
+        _REFIT_NP_CACHE.move_to_end(key)
+        return ent[1]
+    data = compute(arr)
+    _REFIT_NP_CACHE[key] = (arr, data)
+    if len(_REFIT_NP_CACHE) > limit:
+        _REFIT_NP_CACHE.popitem(last=False)
+    return data
+
+
 @jax.jit
 def _apply_refit(tri_cols, attr_cols, group_aabb, r_idx, fresh_tri,
                  fresh_attr, g_rows, fresh_groups):
@@ -607,7 +628,9 @@ def refit_cluster_scene(cs: ClusterScene, tri_v0, tri_e1, tri_e2,
     e1 = np.asarray(tri_e1, np.float32)
     e2 = np.asarray(tri_e2, np.float32)
     moved = np.asarray(moved, bool)
-    order = np.asarray(cs.tri_remap)          # (T_pad,) packed slot -> orig
+    # (T_pad,) packed slot -> orig; constant across refits — cached so the
+    # steady-state animation loop never pulls it from the device
+    order = _cached_np(cs.tri_remap, lambda a: np.asarray(a))
     valid = order >= 0
     safe = np.where(valid, order, 0)
     slot_moved = valid & moved[safe]          # (T_pad,)
@@ -687,19 +710,26 @@ def refit_cluster_scene(cs: ClusterScene, tri_v0, tri_e1, tri_e2,
     # — a static jit key — and force a recompile)
     n_c = order.size // CLUSTER
     assert n_c == cs.level_counts[-1], (n_c, cs.level_counts)
-    old = np.asarray(cs.cluster_aabb)[:n_c, :6]
-    caabb = old.copy()
-    # undo the device point-at-1e30 empty encoding before rebuilding levels
-    # (the union/ordering math expects inverted boxes for empties)
-    empty = caabb[:, 0] >= 1e30
-    caabb[empty, 0:3] = np.inf
-    caabb[empty, 3:6] = -np.inf
+
+    def _pull_caabb(arr):
+        # undo the device point-at-1e30 empty encoding (the union/ordering
+        # math expects inverted boxes for empties)
+        a = np.asarray(arr)[:n_c, :6].copy()
+        empty = a[:, 0] >= 1e30
+        a[empty, 0:3] = np.inf
+        a[empty, 3:6] = -np.inf
+        return a
+
+    caabb = _cached_np(cs.cluster_aabb, _pull_caabb).copy()
     caabb[dc, :3] = lo
     caabb[dc, 3:] = hi
 
     level_aabb, level_order, counts = _build_levels(caabb)
     assert counts == cs.level_counts
     sup_oct_aabb, sup_oct_id = _build_super_octants(level_aabb, counts)
+    # seed the cache for the next refit in the chain: the new bottom table
+    # IS caabb (modulo the device empty-encoding the pull would undo)
+    _REFIT_NP_CACHE[id(level_aabb[-1])] = (level_aabb[-1], caabb)
     return cs._replace(
         tri_cols=tuple(new_cols),
         level_aabb=level_aabb,
