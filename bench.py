@@ -102,7 +102,7 @@ def main():
     # warmup / compile + frame 0 (centered jitter)
     t0 = time.time()
     accum, rays = step(cam, 0, accum, clear)
-    accum.block_until_ready()
+    jax.device_get(accum[:1])
     print(f"[bench] compile+frame0: {time.time()-t0:.1f}s", file=sys.stderr)
 
     # steady state: best of 3 batches — this box's TPU-through-tunnel
@@ -114,13 +114,19 @@ def main():
     f = 1
     for _ in range(3):
         t0 = time.time()
-        batch_rays = 0.0
+        rays_batch = []
         for _ in range(n_frames):
             accum, rays = step(cam, f, accum, clear)
-            batch_rays += float(rays)
+            # keep the ray counters on device: float(rays) here would be a
+            # host sync per frame, serializing the pipeline through the
+            # tunnel (~10-20 ms/frame of pure latency)
+            rays_batch.append(rays)
             f += 1
-        accum.block_until_ready()
+        # block_until_ready does not reliably block through the tunnel;
+        # device_get does
+        jax.device_get(accum[:1])
         dt = time.time() - t0
+        batch_rays = float(sum(jax.device_get(r) for r in rays_batch))
         print(f"[bench] batch: {dt / n_frames * 1e3:.2f} ms/frame",
               file=sys.stderr)
         if best_dt is None or dt < best_dt:
