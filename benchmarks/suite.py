@@ -77,7 +77,7 @@ def run_sharded_bench(name, scene, width, height, frames, depth):
     n_tile, n_spp = factor_mesh(jax.device_count())
     mesh = make_render_mesh(n_tile=n_tile, n_spp=n_spp)
     tracer = make_tracer(scene, "auto")
-    step = make_sharded_pathtrace_step(
+    step, _inv = make_sharded_pathtrace_step(
         scene, tracer, mesh, width=width, height=height,
         samples=n_spp, depth=depth,
     )

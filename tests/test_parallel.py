@@ -81,7 +81,7 @@ def test_output_sharding_is_tile_partitioned(box):
     tracer = make_tracer(box, "bruteforce")
     cam = Camera().matrices(W, H)
     mesh = make_render_mesh(n_tile=8, n_spp=1)
-    step = make_sharded_pathtrace_step(
+    step, _inv = make_sharded_pathtrace_step(
         box, tracer, mesh, width=W, height=H, samples=1, depth=2
     )
     accum = device_put_accum(mesh, W, H)
@@ -166,21 +166,22 @@ def test_sharded_pathtrace_with_pallas_tracer(box):
     tracer = make_pallas_tracer(box, interpret=True)
     cam = Camera().matrices(w, h)
     mesh = make_render_mesh(n_tile=4, n_spp=2)
-    step = make_sharded_pathtrace_step(
+    step, inv = make_sharded_pathtrace_step(
         box, tracer, mesh, width=w, height=h, samples=2, depth=2
     )
     accum = device_put_accum(mesh, w, h)
     accum, rays = step(cam, 0, accum, jnp.ones(4, jnp.float32))
-    a = np.asarray(accum)
+    a = np.asarray(jnp.take(accum, inv, axis=0))
     assert np.isfinite(a).all() and a.max() > 0 and float(rays) > 0
 
     # equivalence against the same tracer unsharded (n_spp=1 exact seeding)
     mesh1 = make_render_mesh(n_tile=4, n_spp=1)
-    step1 = make_sharded_pathtrace_step(
+    step1, inv1 = make_sharded_pathtrace_step(
         box, tracer, mesh1, width=w, height=h, samples=1, depth=2
     )
     accum1, _ = step1(cam, 0, device_put_accum(mesh1, w, h),
                       jnp.ones(4, jnp.float32))
+    accum1 = jnp.take(accum1, inv1, axis=0)
     from vkrt_tpu.models.pathtracer import pathtrace_frame
 
     ref, _ = pathtrace_frame(

@@ -27,8 +27,16 @@ from vkrt_tpu.utils.camera import pixel_coords, tile_perm
 def make_sharded_pathtrace_step(
     scene, tracer, mesh: Mesh, *, width: int, height: int, samples: int, depth: int
 ):
-    """Build the jitted sharded step: (cam, frame, accum, clear) ->
-    (accum', rays). ``accum`` must be (H*W, 3) sharded P('tile')."""
+    """Build the jitted sharded step. Returns ``(step, inv_perm)``:
+    ``step(cam, frame, accum, clear) -> (accum', rays)`` with ``accum``
+    (H*W, 3) sharded P('tile'), and ``inv_perm`` (H*W,) i32 mapping the
+    accumulator to scanline image order (``image = accum[inv_perm]``).
+
+    The accumulator lives in SHARD-TILE order across frames: each band's
+    rows are 32x32-tile-permuted for the trace kernel and stay that way —
+    un-permuting the radiance inside the frame loop measured 16 ms/frame
+    (921600-row gather), ~11% of the whole Cornell frame, paid once at
+    display time instead (the single-device engine does the same)."""
     n = width * height
     n_tile = mesh.shape["tile"]
     n_spp = mesh.shape["spp"]
@@ -42,19 +50,26 @@ def make_sharded_pathtrace_step(
     # Per-shard 32x32 tile blocking: a shard's band arrives in scanline
     # order, but the trace kernel's 1024-ray blocks want compact pixel
     # tiles, not 1024-wide stripes (the single-device engine permutes the
-    # whole frame the same way). The permutation is local to the shard and
-    # inverted on the radiance, so the global accum layout is unchanged.
+    # whole frame the same way). The pix/pid permutation is applied on the
+    # HOST at build time (band-wise, so each shard's slice is already in
+    # its band-tile order — two fewer (N,)-gathers per frame in the body).
+    import numpy as _np
+
     local_tile = height % n_tile == 0  # whole row bands only
     if local_tile:
-        band_perm, band_inv = tile_perm(width, height // n_tile)
-        band_perm = jnp.asarray(band_perm)
-        band_inv = jnp.asarray(band_inv)
+        band_perm, _ = tile_perm(width, height // n_tile)
+        band_n = n // n_tile
+        global_perm = _np.concatenate(
+            [_np.asarray(band_perm) + b * band_n for b in range(n_tile)]
+        )
+        pix_all = jnp.take(pix_all, jnp.asarray(global_perm), axis=0)
+        pid_all = pid_all[jnp.asarray(global_perm)]
+        inv_perm = jnp.asarray(_np.argsort(global_perm).astype(_np.int32))
+    else:
+        inv_perm = jnp.arange(n, dtype=jnp.int32)
 
     def shard_body(cam, frame, accum_shard, clear_color, pix, pid):
         group = jax.lax.axis_index("spp").astype(jnp.uint32)
-        if local_tile:
-            pix = jnp.take(pix, band_perm, axis=0)
-            pid = jnp.take(pid, band_perm)
         seeds = tea(pid, jnp.uint32(frame) * jnp.uint32(n_spp) + group)
         res = trace_pixels(
             scene,  # replicated via closure capture
@@ -69,10 +84,7 @@ def make_sharded_pathtrace_step(
             pix=pix,
             seeds=seeds,
         )
-        radiance = res.radiance
-        if local_tile:
-            radiance = jnp.take(radiance, band_inv, axis=0)
-        radiance = jax.lax.pmean(radiance, "spp")
+        radiance = jax.lax.pmean(res.radiance, "spp")
         rays = jax.lax.psum(res.rays, ("tile", "spp"))
         return accumulate(accum_shard, radiance, frame), rays
 
@@ -90,7 +102,7 @@ def make_sharded_pathtrace_step(
     def step(cam, frame, accum, clear_color):
         return mapped(cam, frame, accum, clear_color, pix_all, pid_all)
 
-    return step
+    return step, inv_perm
 
 
 def make_sharded_hybrid_step(
@@ -181,13 +193,17 @@ def device_put_accum(mesh: Mesh, width: int, height: int):
 def render_sharded(
     scene, tracer, cam, mesh, *, width, height, samples, depth, frames, clear_color
 ):
-    """Render ``frames`` progressive frames under the mesh; returns (N,3)."""
-    step = make_sharded_pathtrace_step(
+    """Render ``frames`` progressive frames under the mesh; returns the
+    accumulator in SCANLINE order (N,3)."""
+    step, inv_perm = make_sharded_pathtrace_step(
         scene, tracer, mesh, width=width, height=height, samples=samples, depth=depth
     )
     accum = device_put_accum(mesh, width, height)
-    total_rays = 0.0
+    rays_per_frame = []
     for f in range(frames):
         accum, rays = step(cam, f, accum, jnp.asarray(clear_color, jnp.float32))
-        total_rays += float(rays)
-    return accum, total_rays
+        # keep the counter on device: float(rays) here would sync the
+        # pipeline every frame (bench.py measured ~23 ms/frame of latency)
+        rays_per_frame.append(rays)
+    total_rays = float(sum(jax.device_get(r) for r in rays_per_frame))
+    return jnp.take(accum, inv_perm, axis=0), total_rays
