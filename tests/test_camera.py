@@ -65,3 +65,21 @@ def test_fov_controls_spread():
     spread_w = float(np.asarray(dw)[0] @ np.asarray(dw)[-1])
     spread_n = float(np.asarray(dn)[0] @ np.asarray(dn)[-1])
     assert spread_w < spread_n  # wider fov -> corner rays farther apart
+
+
+def test_untile_matches_inverse_perm():
+    """untile (reshape/transpose display un-permute) must be exactly
+    out[inv_perm] for every frame geometry, including ragged bottom
+    tiles (720 = 22*32 + 16)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from vkrt_tpu.utils.camera import tile_perm, untile
+
+    rng = np.random.default_rng(0)
+    for w, h in ((1280, 720), (96, 72), (64, 32), (1280, 16), (160, 120)):
+        _, inv = tile_perm(w, h)
+        x = jnp.asarray(rng.normal(size=(w * h, 3)).astype(np.float32))
+        np.testing.assert_array_equal(
+            np.asarray(untile(x, w, h)), np.asarray(x)[inv], err_msg=f"{w}x{h}"
+        )

@@ -32,6 +32,7 @@ from vkrt_tpu.ops.trace import make_tracer
 from vkrt_tpu.ops.rng import tea
 from vkrt_tpu.scene import SceneArrays
 from vkrt_tpu.utils.camera import Camera, pixel_coords, tile_perm
+from vkrt_tpu.utils.camera import untile as camera_untile
 
 
 class Engine:
@@ -87,6 +88,14 @@ class Engine:
         perm, inv = tile_perm(self.width, self.height)
         self._perm = jnp.asarray(perm)
         self._inv_perm = jnp.asarray(inv)
+        # display un-permute: structured reshape/transpose when the width is
+        # tile-aligned (memcpy-speed), row-gather fallback otherwise
+        if self.width % 32 == 0:
+            self._untile = lambda out: camera_untile(
+                out, self.width, self.height
+            )
+        else:
+            self._untile = lambda out: jnp.take(out, self._inv_perm, axis=0)
         self._pix = jnp.take(pixel_coords(self.width, self.height), self._perm, axis=0)
         self._pid = jnp.asarray(perm.astype(np.uint32))
         self.accum = jnp.zeros((n, 3), jnp.float32)          # path accum image
@@ -260,7 +269,7 @@ class Engine:
                 ),
                 rt_mode=1, view_accumulated=s.view_accumulated, use_gi=s.use_gi,
             )
-            return jnp.take(out, self._inv_perm, axis=0)  # tile -> image order
+            return self._untile(out)  # tile -> image order
         if not at_limit:
             with pass_label("hybrid"):  # (hello_vulkan.cpp:587/1459 labels)
                 self.gbuffer, self.accum_rt, rays, self.denoise_state = (
@@ -278,7 +287,7 @@ class Engine:
             view_accumulated=s.view_accumulated,
             use_gi=s.use_gi,
         )
-        return jnp.take(out, self._inv_perm, axis=0)  # tile -> image order
+        return self._untile(out)  # tile -> image order
 
     def render(self, frames: int = 1) -> np.ndarray:
         """Render ``frames`` progressive frames, return (H,W,3) uint8."""
