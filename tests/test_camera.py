@@ -83,3 +83,22 @@ def test_untile_matches_inverse_perm():
         np.testing.assert_array_equal(
             np.asarray(untile(x, w, h)), np.asarray(x)[inv], err_msg=f"{w}x{h}"
         )
+
+
+def test_retile_matches_perm():
+    """retile must be exactly img[perm] (inverse of untile)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from vkrt_tpu.utils.camera import retile, tile_perm, untile
+
+    rng = np.random.default_rng(1)
+    for w, h in ((1280, 720), (96, 72), (64, 32), (160, 120)):
+        perm, _ = tile_perm(w, h)
+        x = jnp.asarray(rng.normal(size=(w * h, 4)).astype(np.float32))
+        np.testing.assert_array_equal(
+            np.asarray(retile(x, w, h)), np.asarray(x)[perm], err_msg=f"{w}x{h}"
+        )
+        np.testing.assert_array_equal(
+            np.asarray(untile(retile(x, w, h), w, h)), np.asarray(x)
+        )

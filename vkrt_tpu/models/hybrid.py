@@ -237,9 +237,19 @@ def hybrid_frame(
         new_accum = jnp.concatenate([filtered, new_accum[:, 3:4]], axis=-1)
     elif use_denoiser and use_gi and (pix is None or inv_perm is not None):
         from vkrt_tpu.models import denoiser as dn
+        from vkrt_tpu.utils.camera import retile as _retile, untile as _untile
+
+        # perm/inv_perm are tile_perm's (documented contract): when the
+        # width is tile-aligned the permutes run as reshape/swapaxes copies
+        # instead of (N,)-row gathers (~10-16 ms each at 1280x720)
+        structured = width % 32 == 0
 
         def unperm(a):
-            return a if inv_perm is None else jnp.take(a, inv_perm, axis=0)
+            if inv_perm is None:
+                return a
+            if structured:
+                return _untile(a, width, height)
+            return jnp.take(a, inv_perm, axis=0)
 
         if denoise_state is not None:
             filtered, new_state = dn.denoise_temporal(
@@ -257,6 +267,7 @@ def hybrid_frame(
                 unperm(gbuf.view_z), width, height,
             )
         if perm is not None:
-            filtered = jnp.take(filtered, perm, axis=0)
+            filtered = _retile(filtered, width, height) if structured \
+                else jnp.take(filtered, perm, axis=0)
         new_accum = jnp.concatenate([filtered, new_accum[:, 3:4]], axis=-1)
     return gbuf, new_accum, rays, new_state

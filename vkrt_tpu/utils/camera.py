@@ -163,6 +163,29 @@ def untile(out, width: int, height: int, tile: int = 32):
     return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
 
 
+def retile(img, width: int, height: int, tile: int = 32):
+    """Scanline order -> tile order (inverse of ``untile``), as
+    reshape/swapaxes copies. Exactly ``img[perm]`` for ``tile_perm``'s
+    permutation. Requires ``width % tile == 0``."""
+    assert width % tile == 0, width
+    n_tx = width // tile
+    n_ty = height // tile
+    feats = img.shape[1:]
+    parts = []
+    full = n_ty * tile * width
+    if n_ty:
+        seg = img[:full].reshape(n_ty, tile, n_tx, tile, *feats)
+        # (ty, y_in, tx, x_in) -> (ty, tx, y_in, x_in)
+        seg = jnp.swapaxes(seg, 1, 2).reshape(full, *feats)
+        parts.append(seg)
+    rem = height - n_ty * tile
+    if rem:
+        seg = img[full:].reshape(rem, n_tx, tile, *feats)
+        seg = jnp.swapaxes(seg, 0, 1).reshape(rem * width, *feats)
+        parts.append(seg)
+    return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
+
+
 def generate_rays(cam: CameraMatrices, width: int, height: int, jitter, pix=None):
     """Primary rays exactly as raytrace.rgen:44-55.
 
