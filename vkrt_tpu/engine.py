@@ -160,6 +160,30 @@ class Engine:
 
             self._step = jax.jit(hybrid_step)
 
+        # display path as ONE jitted dispatch (composite + tile->scanline):
+        # unjitted it was 6-8 separate op dispatches per frame through the
+        # device link (the post.frag-equivalent full-screen pass)
+        if s.rt_mode == 1:
+            def display(accum):
+                out = post_mod.composite(
+                    None,
+                    jnp.concatenate(
+                        [accum, jnp.ones_like(accum[:, :1])], axis=1
+                    ),
+                    rt_mode=1, view_accumulated=s.view_accumulated,
+                    use_gi=s.use_gi,
+                )
+                return self._untile(out)
+        else:
+            def display(raster_rgb, accum_rt):
+                out = post_mod.composite(
+                    raster_rgb, accum_rt, rt_mode=0,
+                    view_accumulated=s.view_accumulated, use_gi=s.use_gi,
+                )
+                return self._untile(out)
+
+        self._display = jax.jit(display)
+
     def _step_args(self):
         """(scene, tracer-arrays) leading arguments for self._step."""
         from vkrt_tpu.ops.pallas.trace import tracer_arrays
@@ -263,13 +287,7 @@ class Engine:
                         cam, self.frame, self.accum, self.clear_color,
                     )
                 self._total_rays = self._total_rays + rays
-            out = post_mod.composite(
-                None, jnp.concatenate(
-                    [self.accum, jnp.ones_like(self.accum[:, :1])], axis=1
-                ),
-                rt_mode=1, view_accumulated=s.view_accumulated, use_gi=s.use_gi,
-            )
-            return self._untile(out)  # tile -> image order
+            return self._display(self.accum)
         if not at_limit:
             with pass_label("hybrid"):  # (hello_vulkan.cpp:587/1459 labels)
                 self.gbuffer, self.accum_rt, rays, self.denoise_state = (
@@ -280,14 +298,7 @@ class Engine:
                     )
                 )
             self._total_rays = self._total_rays + rays
-        out = post_mod.composite(
-            self.gbuffer.color[:, :3],
-            self.accum_rt,
-            rt_mode=0,
-            view_accumulated=s.view_accumulated,
-            use_gi=s.use_gi,
-        )
-        return self._untile(out)  # tile -> image order
+        return self._display(self.gbuffer.color[:, :3], self.accum_rt)
 
     def render(self, frames: int = 1) -> np.ndarray:
         """Render ``frames`` progressive frames, return (H,W,3) uint8."""
