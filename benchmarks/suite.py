@@ -85,7 +85,10 @@ def run_sharded_bench(name, scene, width, height, frames, depth):
     clear = jnp.asarray([1.0, 1.0, 1.0, 1.0], jnp.float32)
     accum = device_put_accum(mesh, width, height)
     accum, rays = step(cam, 0, accum, clear)  # compile + warm
-    jax.block_until_ready(accum)
+    # warm the end-of-run sync op too: accum.sum() on a SHARDED array is
+    # its own jit compile, and a cold compile-service call inside the
+    # timed region measured anywhere from 0.4 to 11 SECONDS of pure noise
+    _ = jax.device_get(accum.sum())
     _ = float(rays)
 
     accum = device_put_accum(mesh, width, height)
@@ -93,9 +96,9 @@ def run_sharded_bench(name, scene, width, height, frames, depth):
     t0 = time.time()
     for f in range(frames):
         accum, rays = step(cam, f, accum, clear)
-    total_rays = float(rays) * frames  # rays/frame is constant per config
     _ = jax.device_get(accum.sum())
     dt = time.time() - t0
+    total_rays = float(rays) * frames  # rays/frame is constant per config
     rec = {
         "config": name,
         "mesh": f"tile={n_tile},spp={n_spp}",
