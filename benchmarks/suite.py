@@ -173,6 +173,17 @@ def main(argv=None):
         results.append(run_sharded_bench(
             "cornell_sharded_mesh", cornell, w, h, n, depth=3,
         ))
+    if "7" in wanted:
+        # opt-in (not in the default config string): Sponza-SCALE stress —
+        # ~2.8x the config-3 triangle count, same estimator. Quantifies the
+        # visit-count scaling argument (STATUS roofline section).
+        big = make_city(grid=160)
+        print(f"[suite] big city scene: {big.num_tris} tris", file=sys.stderr)
+        results.append(run_engine_bench(
+            "bigcity_full_pathtrace", big,
+            RenderSettings(rt_mode=1, samples=1, depth=4), w, h, n,
+            camera_fn=lambda t: orbit_camera(0.12, radius=500, height=64),
+        ))
     return results
 
 
