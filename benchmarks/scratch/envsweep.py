@@ -31,7 +31,7 @@ import vkrt_tpu.ops.pallas.trace as T_BASE
 
 KNOBS = ("VKRT_CLUSTER", "VKRT_BLOCK_ROWS", "VKRT_ISECT", "VKRT_KEYPACK",
          "VKRT_INC_VOTE", "VKRT_GROUP_GATE", "VKRT_PURE_ANY",
-         "VKRT_DEFER_RESOLVE")
+         "VKRT_DEFER_RESOLVE", "VKRT_ATTR_BUDGET")
 
 
 def load_variant(spec: str):
