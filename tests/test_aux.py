@@ -107,6 +107,33 @@ def test_checkpoint_roundtrip(tmp_path, procedural_cornell):
     np.testing.assert_array_equal(np.asarray(e2.accum), np.asarray(e.accum))
 
 
+def test_checkpoint_roundtrips_denoiser_state(tmp_path, procedural_cornell):
+    """A resumed denoised fly-through must keep its temporal history: the
+    reprojection buffers + moments ARE convergence state (dropping them
+    restarts the filter from hist_len 0). The resumed engine must continue
+    bit-identically to the uninterrupted one."""
+    from vkrt_tpu.config import RenderSettings
+    from vkrt_tpu.engine import Engine
+    from vkrt_tpu.utils import checkpoint
+
+    settings = RenderSettings(rt_mode=0, use_shadows=True, use_ao=True,
+                              use_gi=True, use_denoiser=True)
+    path = str(tmp_path / "state.npz")
+    e = Engine(procedural_cornell, 32, 24, settings)
+    assert e.denoise_state is not None
+    e.render_frame()
+    e.render_frame()
+    checkpoint.save(e, path)
+
+    e2 = Engine(procedural_cornell, 32, 24, settings)
+    assert checkpoint.restore(e2, path)
+    for a, b in zip(e2.denoise_state, e.denoise_state):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    out1 = e.render_frame()
+    out2 = e2.render_frame()
+    np.testing.assert_array_equal(np.asarray(out2), np.asarray(out1))
+
+
 def test_checkpoint_rejects_mismatched_fingerprint(tmp_path, procedural_cornell):
     from vkrt_tpu.config import RenderSettings
     from vkrt_tpu.engine import Engine

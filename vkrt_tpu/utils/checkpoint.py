@@ -53,6 +53,15 @@ def save(engine, path: str) -> None:
         "accum": np.asarray(engine.accum),
         "accum_rt": np.asarray(engine.accum_rt),
     }
+    # the temporal denoiser's history (reprojection buffers + moments) IS
+    # convergence state: dropping it from a resumed fly-through restarts
+    # the filter from hist_len 0 (visible re-noising for ~a dozen frames)
+    dn = {}
+    if getattr(engine, "denoise_state", None) is not None:
+        dn = {
+            f"dn_{k}": np.asarray(v)
+            for k, v in engine.denoise_state._asdict().items()
+        }
     tmp = path + ".tmp.npz"
     np.savez_compressed(
         tmp,
@@ -61,6 +70,7 @@ def save(engine, path: str) -> None:
         total_rays=np.float64(state["total_rays"]),
         accum=state["accum"],
         accum_rt=state["accum_rt"],
+        **dn,
     )
     os.replace(tmp, path)
 
@@ -83,6 +93,11 @@ def restore(engine, path: str, strict: bool = True) -> bool:
     engine.total_rays = float(data["total_rays"])
     engine.accum = jnp.asarray(data["accum"])
     engine.accum_rt = jnp.asarray(data["accum_rt"])
+    if engine.denoise_state is not None and "dn_hist_rad" in data.files:
+        engine.denoise_state = type(engine.denoise_state)(**{
+            k: jnp.asarray(data[f"dn_{k}"])
+            for k in engine.denoise_state._fields
+        })
     # pin the camera reference so the next update_frame doesn't reset
     engine._ref_cam = engine.camera
     return True
