@@ -126,6 +126,33 @@ class Engine:
             and os.environ.get("VKRT_POSE_STABLE", "1") == "1"
         )
         proto = self.tracer
+        # Scene as a jit ARGUMENT measured +74 ms/frame at depth 5 (XLA
+        # cannot constant-fold the material/light staging it folds for a
+        # closure-captured scene). When the frame never reads pose-varying
+        # scene arrays — resolve-path scenes: hit geometry/attrs come from
+        # the TRACER tables, and materials/lights/textures are
+        # pose-invariant — the scene is baked into the closure instead.
+        # Gather-shading scenes (no attr tables) keep the argument: their
+        # shading gathers scene.tri_*/corner_* which a re-pose rewrites.
+        # Textured hybrid scenes also keep it: the G-buffer pass gathers
+        # scene.tri_uv_density (gbuffer.py:120), which a non-uniform-scale
+        # re-pose changes.
+        from vkrt_tpu.scene import scene_is_textured
+
+        scene_const = (
+            # no InstancedScene -> set_node_transform raises -> the scene
+            # can never change under this engine: always fold it
+            self.instances is None
+            or (
+                self._pose_stable
+                and getattr(self.tracer, "resolves_attrs", False)
+                and (s.rt_mode == 1 or not scene_is_textured(self.scene))
+            )
+        )
+        const_scene = self.scene
+
+        def sc(scene_arg):
+            return const_scene if scene_const else scene_arg
 
         def tr(tr_arrs):
             return tracer_with_arrays(proto, tr_arrs) if self._pose_stable \
@@ -137,7 +164,7 @@ class Engine:
                 # bit-identical to scanline order (layout is a pure permute)
                 seeds = tea(pid, jnp.uint32(frame))
                 return pathtrace_frame(
-                    scene, tr(tr_arrs), cam, frame, accum, clear_color,
+                    sc(scene), tr(tr_arrs), cam, frame, accum, clear_color,
                     width=self.width, height=self.height,
                     samples=s.samples, depth=s.depth,
                     clamp_weights=s.clamp_weights, pix=pix, seeds=seeds,
@@ -149,7 +176,7 @@ class Engine:
                             denoise_state):
                 seeds = tea(pid, jnp.uint32(frame))
                 return hybrid_frame(
-                    scene, tr(tr_arrs), cam, frame, accum_rt, clear_color,
+                    sc(scene), tr(tr_arrs), cam, frame, accum_rt, clear_color,
                     width=self.width, height=self.height, depth=s.depth,
                     use_shadows=s.use_shadows, use_ao=s.use_ao,
                     use_gi=s.use_gi, use_denoiser=s.use_denoiser,
