@@ -17,7 +17,11 @@ import numpy as np
 
 def _gather_texel(tex_flat, k, y, x, th, tw):
     lin = (k * th + y) * tw + x
-    return jnp.take(tex_flat, lin, axis=0)
+    out = jnp.take(tex_flat, lin, axis=0)
+    # bf16 atlas support (VKRT_TEX_BF16): the cast sits AFTER the gather so
+    # the random-gather bytes (the measured ~12 GB/s bottleneck of texture
+    # fetch) halve; all filtering math stays f32.
+    return out.astype(jnp.float32) if out.dtype != jnp.float32 else out
 
 
 def sample_texture(tex_rgba, tex_size, tex_idx, uv):
@@ -189,13 +193,20 @@ def sample_texture_aniso(
     pmin_eff = jnp.maximum(jnp.maximum(pmin, pmax / MAX_ANISO), 1e-9)
     lod = jnp.log2(pmin_eff)
     major = jnp.where((px >= py)[:, None], ddx_uv, ddy_uv)
+    # VKRT_ANISO_TAPS=2 halves the tap fan (16 texel gathers per fetch
+    # instead of 32) at a quality cost only visible at ratios near the 4x
+    # clamp; the default 4 matches the reference sampler's maxAnisotropy.
+    import os
+
+    taps = int(os.environ.get("VKRT_ANISO_TAPS", "4"))
+    offsets = {2: (-0.25, 0.25)}.get(taps, (-0.375, -0.125, 0.125, 0.375))
     acc = 0.0
-    for s in (-0.375, -0.125, 0.125, 0.375):
+    for s in offsets:
         acc = acc + sample_texture_lod(
             atlas, level_size, level_off, n_levels, tex_idx,
             uv + major * s, lod,
         )
-    return 0.25 * acc
+    return acc / len(offsets)
 
 
 def build_mip_pyramid(image: np.ndarray):
