@@ -32,11 +32,19 @@ def bench(eng, frames=6):
 def main():
     mode_path = len(sys.argv) > 1 and sys.argv[1] == "path"
     scenes = {}
-    for flag in ("0", "1"):
-        os.environ["VKRT_TEX_BF16"] = flag
-        scenes[flag] = scene_mod.make_city(grid=96)
-        print(f"bf16={flag}: atlas dtype {scenes[flag].tex_mip_atlas.dtype}",
-              flush=True)
+    saved = os.environ.get("VKRT_TEX_BF16")
+    try:
+        for flag in ("0", "1"):
+            os.environ["VKRT_TEX_BF16"] = flag
+            scenes[flag] = scene_mod.make_city(grid=96)
+            print(f"bf16={flag}: atlas dtype "
+                  f"{scenes[flag].tex_mip_atlas.dtype}", flush=True)
+    finally:
+        # don't leak the sweep value into scenes built later in-process
+        if saved is None:
+            os.environ.pop("VKRT_TEX_BF16", None)
+        else:
+            os.environ["VKRT_TEX_BF16"] = saved
     if mode_path:
         s = RenderSettings(rt_mode=1, max_depth=4)
     else:

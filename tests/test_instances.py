@@ -166,7 +166,7 @@ def test_refit_cost_scales_with_subset():
     # the geometry instead: attr rows for dirty clusters were rewritten)
     if cs.attr_cols:
         from vkrt_tpu.ops.pallas.trace import _dirty_rows
-        rows_dirty = _dirty_rows(dirty)
+        rows_dirty = _dirty_rows(dirty, cs.spec)
         for old, new in zip(cs.attr_cols, cs2.attr_cols):
             np.testing.assert_array_equal(
                 np.asarray(old)[~rows_dirty], np.asarray(new)[~rows_dirty]

@@ -2,6 +2,7 @@
 
 import numpy as np
 import jax.numpy as jnp
+import pytest
 
 from vkrt_tpu.ops.texture import build_mip_pyramid, sample_texture
 from vkrt_tpu.utils.obj import load_obj_scene, parse_obj
@@ -313,6 +314,62 @@ def test_aniso_preserves_detail_across_minor_axis():
     assert an.std() > 4 * max(iso.std(), 1e-6)
     # and the means agree (energy conservation)
     assert abs(an.mean() - iso.mean()) < 0.1
+
+
+def test_aniso_two_tap_quality():
+    """The 2-tap fan (VKRT_ANISO_TAPS=2 / taps=2): must degrade to
+    trilinear at isotropic footprints (taps collapse inside one texel) and
+    stay within a quality bound of the 4-tap fan at anisotropic ones."""
+    from vkrt_tpu.ops.texture import (
+        pack_mip_atlas, sample_texture_aniso, sample_texture_lod,
+    )
+
+    w = h = 32
+    ramp = np.broadcast_to(
+        np.linspace(0, 255, w)[None, :, None], (h, w, 4)
+    ).astype(np.uint8)
+    args = tuple(jnp.asarray(a) for a in pack_mip_atlas([ramp]))
+    uv = jnp.asarray([[0.43, 0.58], [0.2, 0.8]], jnp.float32)
+    idx = jnp.zeros((2,), jnp.int32)
+    gx = jnp.stack([jnp.full((2,), 1 / 32.0), jnp.zeros(2)], axis=-1)
+    gy = jnp.stack([jnp.zeros(2), jnp.full((2,), 1 / 32.0)], axis=-1)
+    a2 = np.asarray(sample_texture_aniso(*args, idx, uv, gx, gy, taps=2))
+    t = np.asarray(sample_texture_lod(*args, idx, uv, jnp.zeros(2)))
+    np.testing.assert_allclose(a2, t, atol=0.02)
+
+    # anisotropic grazing footprint: 2 taps vs 4 taps stay close on a
+    # smooth ramp (the fan only redistributes samples along the major axis)
+    n = 17
+    uv = jnp.stack([
+        jnp.linspace(0.3, 0.7, n), jnp.full((n,), 0.5)
+    ], axis=-1).astype(jnp.float32)
+    idx = jnp.zeros((n,), jnp.int32)
+    gx = jnp.tile(jnp.asarray([[1 / 32.0, 0.0]], jnp.float32), (n, 1))
+    gy = jnp.tile(jnp.asarray([[0.0, 4 / 32.0]], jnp.float32), (n, 1))
+    a2 = np.asarray(sample_texture_aniso(*args, idx, uv, gx, gy, taps=2))
+    a4 = np.asarray(sample_texture_aniso(*args, idx, uv, gx, gy, taps=4))
+    assert np.abs(a2 - a4).max() < 0.05, np.abs(a2 - a4).max()
+
+
+def test_aniso_taps_env_validation():
+    """Unsupported VKRT_ANISO_TAPS values must raise at import, not
+    silently fall back to 4 taps mid-trace."""
+    import importlib
+    import os
+
+    import vkrt_tpu.ops.texture as tex
+
+    saved = os.environ.get("VKRT_ANISO_TAPS")
+    try:
+        os.environ["VKRT_ANISO_TAPS"] = "8"
+        with pytest.raises(ValueError):
+            importlib.reload(tex)
+    finally:
+        if saved is None:
+            os.environ.pop("VKRT_ANISO_TAPS", None)
+        else:
+            os.environ["VKRT_ANISO_TAPS"] = saved
+        importlib.reload(tex)
 
 
 def test_gbuffer_aniso_grazing_plane():

@@ -88,38 +88,16 @@ def test_anyhit_kill_mixed_pool(box, rng):
     np.testing.assert_array_equal(np.asarray(got.hit)[n:], np.asarray(ref_a))
 
 
-def _load_trace_variant(isect, keypack, group_gate=False, defer=False,
-                        pure_any=False):
-    """Independent instance of the trace module with the given import-time
-    switches (the production module keeps its own defaults)."""
-    import importlib.util
-    import os
+def _variant_tracer(box, **overrides):
+    """Tracer packed for a non-default TraceSpec, living in the SAME
+    process as the default one (round-3 needed a re-imported module copy
+    per env-var combination; TraceSpec made the constants per-tracer)."""
+    import dataclasses
 
-    import vkrt_tpu.ops.pallas.trace as base
+    from vkrt_tpu.ops.pallas.trace import DEFAULT_SPEC
 
-    saved = {k: os.environ.get(k)
-             for k in ("VKRT_ISECT", "VKRT_KEYPACK", "VKRT_GROUP_GATE",
-                       "VKRT_DEFER_RESOLVE", "VKRT_PURE_ANY")}
-    os.environ["VKRT_ISECT"] = isect
-    os.environ["VKRT_KEYPACK"] = "1" if keypack else "0"
-    os.environ["VKRT_GROUP_GATE"] = "1" if group_gate else "0"
-    os.environ["VKRT_DEFER_RESOLVE"] = "1" if defer else "0"
-    os.environ["VKRT_PURE_ANY"] = "1" if pure_any else "0"
-    try:
-        spec = importlib.util.spec_from_file_location(
-            f"trace_{isect}_{int(keypack)}_{int(group_gate)}_{int(defer)}"
-            f"_{int(pure_any)}",
-            base.__file__,
-        )
-        mod = importlib.util.module_from_spec(spec)
-        spec.loader.exec_module(mod)
-        return mod
-    finally:
-        for k, v in saved.items():
-            if v is None:
-                os.environ.pop(k, None)
-            else:
-                os.environ[k] = v
+    spec = dataclasses.replace(DEFAULT_SPEC, **overrides)
+    return make_pallas_tracer(box, interpret=True, spec=spec)
 
 
 @pytest.mark.parametrize("isect,keypack", [("bw", False), ("mt", True),
@@ -128,9 +106,8 @@ def test_gated_variants_match_default(box, rng, isect, keypack):
     """The env-gated kernel variants (Baldwin-Weber intersector, key-packed
     winner selection) must agree with the production kernel on every hit
     verdict, with differing triangles only as equal-t ties."""
-    mod = _load_trace_variant(isect, keypack)
     pt_ref = make_pallas_tracer(box, interpret=True)
-    pt_var = mod.make_pallas_tracer(box, interpret=True)
+    pt_var = _variant_tracer(box, isect=isect, keypack=keypack)
     o, d = _rays(600, rng)
     lim = jnp.asarray(rng.uniform(0.3, 8.0, size=(600,)), jnp.float32)
     ref = pt_ref.closest(o, d, 1e-3, 1e4)
@@ -157,14 +134,53 @@ def test_gated_variants_match_default(box, rng, isect, keypack):
     )
 
 
+def test_cluster_specs_coexist_in_process(box, rng):
+    """Two tracers packed at different CLUSTER grains (64 and 128) must
+    coexist in one process and agree on every verdict — the per-scene
+    CLUSTER selection (128 on city-class geometry, 64 on Cornell-class)
+    depends on this; round 3 could not ship it because the constants were
+    import-time module globals."""
+    pt64 = _variant_tracer(box, cluster=64)
+    pt128 = _variant_tracer(box, cluster=128)
+    assert pt64.spec.cluster == 64 and pt128.spec.cluster == 128
+    assert pt64.cs.tri_cols[0].shape != pt128.cs.tri_cols[0].shape \
+        or pt64.cs.n_clusters != pt128.cs.n_clusters
+    o, d = _rays(600, rng)
+    ref = pt64.closest(o, d, 1e-3, 1e4)
+    got = pt128.closest(o, d, 1e-3, 1e4)
+    np.testing.assert_array_equal(np.asarray(got.hit), np.asarray(ref.hit))
+    h = np.asarray(ref.hit)
+    np.testing.assert_allclose(
+        np.asarray(got.t)[h], np.asarray(ref.t)[h], rtol=1e-5, atol=1e-6
+    )
+    # both resolve attrs through their own packed layouts
+    if pt64.resolves_attrs and pt128.resolves_attrs:
+        _, at64 = pt64.closest_surface(o, d, 1e-3, 1e4)
+        _, at128 = pt128.closest_surface(o, d, 1e-3, 1e4)
+        same = np.asarray(got.tri)[h] == np.asarray(ref.tri)[h]
+        np.testing.assert_allclose(
+            np.asarray(at128.nrm)[h][same],
+            np.asarray(at64.nrm)[h][same], rtol=1e-5, atol=1e-6,
+        )
+
+
+def test_spec_for_scene_heuristic():
+    """Big scenes pack at CLUSTER=128 (measured: +1.7% e2e and 1.5x faster
+    compiles on the 143k-tri city), small scenes keep 64 (128 measured a
+    17% loss on Cornell); an explicit VKRT_CLUSTER env pin wins."""
+    from vkrt_tpu.ops.pallas.trace import spec_for_scene
+
+    assert spec_for_scene(16_000).cluster == 64
+    assert spec_for_scene(150_000).cluster == 128
+
+
 def test_group_gate_matches_default(box, rng):
     """VKRT_GROUP_GATE=1 (per-row group-AABB gating of the plain kernel's
     8-triangle-group loop) must be bit-identical on hit/tri and match t/u/v:
     gating only SKIPS groups whose boxes no ray of the row can reach under
     its current bound, so the winner per lane is unchanged."""
-    mod = _load_trace_variant("mt", False, group_gate=True)
     pt_ref = make_pallas_tracer(box, interpret=True)
-    pt_var = mod.make_pallas_tracer(box, interpret=True)
+    pt_var = _variant_tracer(box, group_gate=True)
     o, d = _rays(600, rng)
     lim = jnp.asarray(rng.uniform(0.3, 8.0, size=(600,)), jnp.float32)
     # plain (non-resolve) closest: the gated code path
@@ -192,10 +208,9 @@ def test_pure_any_matches_default(box, rng):
     of the default kernel on every .any pool, and the shade loop's split
     shadow pools (closest_packed_plain(pure_any=True)) must keep the idx
     sign its consumers read."""
-    mod = _load_trace_variant("mt", False, pure_any=True)
-    assert mod.PURE_ANY
     pt_ref = make_pallas_tracer(box, interpret=True)
-    pt_var = mod.make_pallas_tracer(box, interpret=True)
+    pt_var = _variant_tracer(box, pure_any=True)
+    assert pt_var.spec.pure_any
     o, d = _rays(700, rng)
     lim = jnp.asarray(rng.uniform(0.3, 8.0, size=(700,)), jnp.float32)
     np.testing.assert_array_equal(
@@ -203,7 +218,9 @@ def test_pure_any_matches_default(box, rng):
         np.asarray(pt_ref.any(o, d, 1e-3, lim)),
     )
     # packed shadow-pool form: only the idx column's sign is contractual
-    packed, n, _ = mod._pack_rays(o, d, -lim)
+    from vkrt_tpu.ops.pallas.trace import _pack_rays
+
+    packed, n, _ = _pack_rays(o, d, -lim, pt_var.spec.prog_rows)
     out_v = pt_var.closest_packed_plain(packed, 1e-3, pure_any=True)
     out_r = pt_ref.closest_packed_plain(packed, 1e-3)
     hit_v = (np.asarray(out_v[:, 128:256]).view(np.int32) >= 0)
@@ -219,9 +236,8 @@ def test_defer_resolve_matches_default(box, rng):
     per-visit resolve: the picked candidate interpolates with the same
     u, v and delta-form corner values in the same FMA order, and unpicked
     candidates are zeroed by the same pick-sum."""
-    mod = _load_trace_variant("mt", False, defer=True)
     pt_ref = make_pallas_tracer(box, interpret=True)
-    pt_var = mod.make_pallas_tracer(box, interpret=True)
+    pt_var = _variant_tracer(box, defer_resolve=True)
     assert pt_ref.resolves_attrs and pt_var.resolves_attrs
     o, d = _rays(800, rng)
     hi_r, at_r = pt_ref.closest_surface(o, d, 1e-3, 1e4)
@@ -328,13 +344,15 @@ def test_in_kernel_attr_resolve_matches_gather(box, rng):
         np.testing.assert_array_equal(np.asarray(at.pos)[~h], 0.0)
 
 
-def test_attr_budget_gate(monkeypatch):
+def test_attr_budget_gate():
     """Over-budget scenes must fall back to gather shading (attr_cols=())."""
+    import dataclasses
+
     import vkrt_tpu.ops.pallas.trace as tr
 
     soup = make_random_soup(300, seed=3)
-    monkeypatch.setattr(tr, "ATTR_VMEM_BUDGET", 1024)  # absurdly small
-    pt = tr.make_pallas_tracer(soup, interpret=True)
+    spec = dataclasses.replace(tr.DEFAULT_SPEC, attr_vmem_budget=1024)
+    pt = tr.make_pallas_tracer(soup, interpret=True, spec=spec)
     assert not pt.resolves_attrs
     assert pt.cs.attr_cols == ()
 

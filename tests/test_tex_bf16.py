@@ -58,7 +58,10 @@ def test_bf16_atlas_dtype_and_sample_parity(monkeypatch):
     monkeypatch.setenv("VKRT_TEX_BF16", "1")
     s16 = build_scene(doc)
     assert s16.tex_mip_atlas.dtype == jnp.bfloat16
-    assert s16.tex_rgba.dtype == jnp.bfloat16
+    # level 0 is EXEMPT from bf16: alpha-MASK cutoff comparisons read it
+    # (ops/alpha.py), and quantization could flip visibility for alpha
+    # values landing exactly at alpha_cutoff
+    assert s16.tex_rgba.dtype == jnp.float32
     assert s32.tex_mip_atlas.dtype == jnp.float32
 
     n = 257
@@ -68,8 +71,7 @@ def test_bf16_atlas_dtype_and_sample_parity(monkeypatch):
     a = sample_texture(s32.tex_rgba, s32.tex_size, idx, uv)
     b = sample_texture(s16.tex_rgba, s16.tex_size, idx, uv)
     assert a.dtype == b.dtype == jnp.float32
-    # bf16 eps = 2^-8 relative; filtered linear-space texels are <= 1.0
-    assert float(jnp.max(jnp.abs(a - b))) <= 1.0 / 128.0
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
     lod = jnp.asarray(rng.rand(n) * 4.0, jnp.float32)
     a = sample_texture_lod(s32.tex_mip_atlas, s32.tex_level_size,

@@ -48,6 +48,12 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--alpha-test", action="store_true",
                    help="enable alpha-tested transparency (the reference's "
                         "unwired any-hit shaders, finished; see ops/alpha.py)")
+    p.add_argument("--corr-sampler", action="store_true",
+                   default=os.environ.get("VKRT_CORR", "0") == "1",
+                   help="correlated per-block sampler: share the lobe/"
+                        "light/hemisphere draws across each 1024-ray "
+                        "kernel block per frame (unbiased; coherent "
+                        "bounce/shadow pools)")
     p.add_argument("--view-accumulated", action="store_true")
     p.add_argument("--clear-color", type=float, nargs=3, default=None)
     p.add_argument(
@@ -145,6 +151,7 @@ def main(argv=None) -> int:
         use_denoiser=args.denoiser,
         backend=args.backend,
         alpha_test=args.alpha_test,
+        corr_sampler=args.corr_sampler,
     )
     cam = Camera(
         eye=tuple(args.eye) if args.eye else (0.0, 0.0, 15.0),

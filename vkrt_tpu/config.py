@@ -54,6 +54,14 @@ class RenderSettings:
     # BLEND sphere in cornell.gltf renders opaque there. Enabling finishes
     # the feature.
     alpha_test: bool = False
+    # Correlated per-block sampler (ops/rng.py block_uniform_table): one
+    # shared lobe/light/hemisphere/GGX draw per 1024-ray kernel block per
+    # (frame, sample, bounce). Unbiased with unchanged per-pixel variance
+    # (draws stay marginally uniform and frame-independent); trades
+    # per-frame intra-block noise independence for trace coherence — the
+    # incoherent bounce-pool trace is the measured Sponza-class bound.
+    # Default off = reference-faithful independent draws.
+    corr_sampler: bool = os.environ.get("VKRT_CORR", "0") == "1"
 
     def replace(self, **kw) -> "RenderSettings":
         return dataclasses.replace(self, **kw)

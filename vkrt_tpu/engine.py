@@ -167,7 +167,8 @@ class Engine:
                     sc(scene), tr(tr_arrs), cam, frame, accum, clear_color,
                     width=self.width, height=self.height,
                     samples=s.samples, depth=s.depth,
-                    clamp_weights=s.clamp_weights, pix=pix, seeds=seeds,
+                    clamp_weights=s.clamp_weights, corr=s.corr_sampler,
+                    pix=pix, seeds=seeds,
                 )
 
             self._step = jax.jit(path_step)
@@ -180,7 +181,8 @@ class Engine:
                     width=self.width, height=self.height, depth=s.depth,
                     use_shadows=s.use_shadows, use_ao=s.use_ao,
                     use_gi=s.use_gi, use_denoiser=s.use_denoiser,
-                    clamp_weights=s.clamp_weights, pix=pix, seeds=seeds,
+                    clamp_weights=s.clamp_weights, corr=s.corr_sampler,
+                    pix=pix, seeds=seeds,
                     perm=self._perm, inv_perm=self._inv_perm,
                     denoise_state=denoise_state,
                 )
@@ -245,6 +247,7 @@ class Engine:
                 or settings.clamp_weights != self.settings.clamp_weights
                 or settings.backend != self.settings.backend
                 or settings.alpha_test != self.settings.alpha_test
+                or settings.corr_sampler != self.settings.corr_sampler
             )
             if (settings.backend != self.settings.backend
                     or settings.alpha_test != self.settings.alpha_test):

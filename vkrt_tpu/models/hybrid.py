@@ -43,12 +43,30 @@ def hybrid_effects(
     use_ao: bool,
     use_gi: bool,
     clamp_weights: bool = False,
+    corr: bool = False,
 ):
     """The raytraceHybrid.rgen main() body. Returns (color4, diff_rad_hitd,
-    seed, rays)."""
+    seed, rays).
+
+    ``corr``: correlated per-block sampler (see RenderSettings.corr_sampler)
+    — the shadow light pick, AO hemisphere draws, GI lobe direction and the
+    GI bounce chain all share one draw per 1024-ray kernel block per frame,
+    for coherent visibility/bounce pools."""
     n = gbuf.color.shape[0]
     dt = gbuf.color.dtype
     n_lights = scene.num_lights
+
+    corr_seed = None
+    corr_tab = None
+    if corr:
+        from vkrt_tpu.ops.rng import corr_draws
+
+        corr_seed = (
+            jnp.asarray(frame).astype(jnp.uint32) * jnp.uint32(0x9E3779B9)
+        )
+        # depth keys >= 64 are reserved for the pre-chain hybrid draws (the
+        # GI chain itself uses keys 1..depth-1 inside bounce_chain)
+        corr_tab = lambda key: corr_draws(n, corr_seed, key).astype(dt)  # noqa: E731
 
     world_pos = gbuf.position[:, :3]
     world_nrm = gbuf.normal[:, :3]
@@ -73,6 +91,8 @@ def hybrid_effects(
     vis_dirs, vis_lims = [], []
     if use_shadows:  # rgen:81-131
         seed, r = rnd(seed)
+        if corr:
+            r = corr_tab(64)[:, 1]
         light_idx = jnp.clip((r * float(n_lights)).astype(jnp.int32), 0, n_lights - 1)
         lpos = jnp.take(scene.light_pos, light_idx, axis=0)
         ldir = lpos - world_pos
@@ -88,8 +108,14 @@ def hybrid_effects(
 
     if use_ao:  # rgen:133-169
         tangent, binormal = create_coordinate_system(world_nrm)
-        for _ in range(AO_SAMPLES):
-            seed, d = sampling_hemisphere(seed, tangent, binormal, world_nrm)
+        for i_ao in range(AO_SAMPLES):
+            u = None
+            if corr:
+                t = corr_tab(65 + i_ao)
+                u = (t[:, 2], t[:, 3])
+            seed, d = sampling_hemisphere(
+                seed, tangent, binormal, world_nrm, uniforms=u
+            )
             d = normalize(d)
             vis_dirs.append(jnp.where(shaded[:, None], d, 0.0))
             vis_lims.append(jnp.where(shaded, RTAO_RADIUS, 0.0))
@@ -125,7 +151,13 @@ def hybrid_effects(
         ratio = metalness * (1.0 - roughness)  # rgen:184 (not the path formula)
         is_diffuse = ratio < 0.8
         tangent, binormal = create_coordinate_system(world_nrm)
-        seed_d, hemi = sampling_hemisphere(seed, tangent, binormal, world_nrm)
+        u = None
+        if corr:
+            t = corr_tab(72)
+            u = (t[:, 2], t[:, 3])
+        seed_d, hemi = sampling_hemisphere(
+            seed, tangent, binormal, world_nrm, uniforms=u
+        )
         dir_d = normalize(hemi)
         eye = cam.view_inverse[:3, 3]
         v = normalize(eye - world_pos)
@@ -157,6 +189,7 @@ def hybrid_effects(
             hitdist_weight=1.0,
             hitdist_accumulate=False,  # hybrid overwrites (rgen:257-263)
             clamp_weights=clamp_weights,
+            corr_seed=corr_seed,
         )
         seed = out.seed
         rays = out.rays_main + out.rays_shadow
@@ -189,6 +222,7 @@ def hybrid_frame(
     use_gi: bool,
     use_denoiser: bool,
     clamp_weights: bool = False,
+    corr: bool = False,
     pix=None,
     seeds=None,
     perm=None,
@@ -217,7 +251,7 @@ def hybrid_frame(
     new_accum, diff_rad_hitd, _, rays = hybrid_effects(
         scene, tracer, gbuf, cam, seed, frame, accum_rt,
         depth=depth, use_shadows=use_shadows, use_ao=use_ao, use_gi=use_gi,
-        clamp_weights=clamp_weights,
+        clamp_weights=clamp_weights, corr=corr,
     )
     rays = rays + jnp.asarray(float(n), jnp.float32)  # primary G-buffer rays
     new_state = denoise_state

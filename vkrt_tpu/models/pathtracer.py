@@ -64,6 +64,7 @@ def bounce_chain(
     hitdist_weight: float,
     hitdist_accumulate: bool,
     clamp_weights: bool = False,
+    corr_seed=None,
 ) -> BounceCarry:
     """Run the shared bounce loop (rgen:62-116 / raytraceHybrid.rgen:211-266).
 
@@ -71,6 +72,8 @@ def bounce_chain(
     hybrid GI overwrites ``hitDists = ...`` (hybrid rgen:257).
     ``clamp_weights``: opt-in extension bounding the path throughput (see
     RenderSettings.clamp_weights).
+    ``corr_seed``: traced uint32 scalar enabling the correlated per-block
+    sampler (ops.rng.corr_draws) — None keeps independent per-lane draws.
 
     The loop is *software-pipelined* around the trace kernel: after shading
     bounce d, the shadow rays of bounce d and the main rays of bounce d+1
@@ -112,6 +115,7 @@ def bounce_chain(
             hitdist_weight=hitdist_weight,
             hitdist_accumulate=hitdist_accumulate,
             clamp_weights=clamp_weights, t_min=_TMIN, t_max=_TMAX,
+            corr_seed=corr_seed,
         )
 
     def seeded(c: BounceCarry):
@@ -146,7 +150,13 @@ def bounce_chain(
             else surface_at_hit(scene, tri, hi.u, hi.v, c.direction)
         )
         emit_gate = (d == 0) | c.is_specular  # rchit:83
-        bs = sample_bsdf(scene, surf, c.direction, c.seed, emit_gate)
+        corr = None
+        if corr_seed is not None:
+            from vkrt_tpu.ops.rng import corr_draws
+
+            corr = corr_draws(n, corr_seed, d).astype(dt)
+        bs = sample_bsdf(scene, surf, c.direction, c.seed, emit_gate,
+                         corr=corr)
 
         # rmiss (raytrace.rmiss:11-19)
         miss_value = jnp.where(d == 0, clear3 * 0.8, jnp.full_like(clear3, 0.01))
@@ -279,6 +289,7 @@ def trace_pixels(
     samples: int,
     depth: int,
     clamp_weights: bool = False,
+    corr: bool = False,
     pix=None,
     seeds=None,
 ) -> PathTraceResult:
@@ -287,13 +298,22 @@ def trace_pixels(
     ``pix``/``seeds``: optional per-shard pixel coordinates and RNG states —
     the SPMD entry used by vkrt_tpu.parallel to run this function on a tile
     of the frame per device. Defaults cover the whole frame.
+    ``corr``: correlated per-block sampler (RenderSettings.corr_sampler).
     """
     n = width * height if pix is None else pix.shape[0]
     dt = scene.tri_v0.dtype
     seed = seed_pixels(width, height, frame) if seeds is None else seeds
 
-    def sample_body(_, acc):
+    def sample_body(s, acc):
         seed, hit_values, hit_dists, rays = acc
+        corr_seed = None
+        if corr:
+            # fresh shared-draw table per (frame, sample): per-pixel draws
+            # stay independent across frames/samples, correlated per block
+            corr_seed = (
+                jnp.asarray(frame).astype(jnp.uint32) * jnp.uint32(0x9E3779B9)
+                + jnp.asarray(s).astype(jnp.uint32) * jnp.uint32(0x6A09E667)
+            )
         seed, r1 = rnd(seed)
         seed, r2 = rnd(seed)
         jitter = jnp.where(
@@ -325,6 +345,7 @@ def trace_pixels(
             hitdist_weight=1.0 / samples,
             hitdist_accumulate=True,
             clamp_weights=clamp_weights,
+            corr_seed=corr_seed,
         )
         return (
             out.seed,
@@ -373,6 +394,7 @@ def pathtrace_frame(
     samples: int,
     depth: int,
     clamp_weights: bool = False,
+    corr: bool = False,
     pix=None,
     seeds=None,
 ):
@@ -385,6 +407,6 @@ def pathtrace_frame(
     res = trace_pixels(
         scene, tracer, cam, width, height, frame, clear_color,
         samples=samples, depth=depth, clamp_weights=clamp_weights,
-        pix=pix, seeds=seeds,
+        corr=corr, pix=pix, seeds=seeds,
     )
     return accumulate(accum, res.radiance, frame), res.rays

@@ -220,9 +220,16 @@ class BsdfSample(NamedTuple):
     seed: jnp.ndarray          # (N,) uint32
 
 
-def sample_bsdf(scene, surf: SurfaceSample, ray_dir, seed, emit_gate) -> BsdfSample:
+def sample_bsdf(scene, surf: SurfaceSample, ray_dir, seed, emit_gate,
+                corr=None) -> BsdfSample:
     """Lobe selection + sampling (rchit:118-218). ``emit_gate`` (N,) bool is
-    the ``prd.depth == 0 || prd.isSpecular`` emissive gate (rchit:83-88)."""
+    the ``prd.depth == 0 || prd.isSpecular`` emissive gate (rchit:83-88).
+
+    ``corr``: optional (N, 6) per-block shared uniforms (ops.rng.corr_draws)
+    replacing the six sampling draws — lobe pick, light pick, hemisphere
+    r1/r2, GGX r1/r2 — for block-coherent bounce/shadow directions. Lane
+    seeds advance exactly as without it (the substituted draws are still
+    consumed), so the stream structure matches the reference estimator."""
     n_lights = scene.num_lights
     v = normalize(-ray_dir)
     nrm = surf.shading_normal
@@ -235,10 +242,14 @@ def sample_bsdf(scene, surf: SurfaceSample, ray_dir, seed, emit_gate) -> BsdfSam
     metal_c = jnp.clip(surf.metallic, 0.01, 0.99)
 
     seed, r1 = rnd(seed)
+    if corr is not None:
+        r1 = corr[:, 0]
     is_diffuse = r1 < ratio
 
     # ---- diffuse branch (3 further draws: light pick + 2 hemisphere) ----
     seed_d, r_light = rnd(seed)
+    if corr is not None:
+        r_light = corr[:, 1]
     light_idx = jnp.clip(
         (r_light * float(n_lights)).astype(jnp.int32), 0, n_lights - 1
     )
@@ -263,7 +274,10 @@ def sample_bsdf(scene, surf: SurfaceSample, ray_dir, seed, emit_gate) -> BsdfSam
         float(n_lights) * brdf_nee * li * cos_nee[:, None],
         0.0,
     )
-    seed_d, hemi = sampling_hemisphere(seed_d, surf.tangent, surf.binormal, nrm)
+    seed_d, hemi = sampling_hemisphere(
+        seed_d, surf.tangent, surf.binormal, nrm,
+        uniforms=None if corr is None else (corr[:, 2], corr[:, 3]),
+    )
     dir_d = normalize(hemi)
     # weight = BRDF*cos/pdf with BRDF=(1-metal)*baseColor/pi and
     # pdf=ratio*cos/pi (rchit:176-183): the cosines cancel exactly.
@@ -273,7 +287,10 @@ def sample_bsdf(scene, surf: SurfaceSample, ray_dir, seed, emit_gate) -> BsdfSam
 
     # ---- specular branch (2 further draws: GGX) ----
     alpha = rough_c * rough_c
-    seed_s, h_local = sampling_ndf_ggxtr(seed, alpha * alpha)
+    seed_s, h_local = sampling_ndf_ggxtr(
+        seed, alpha * alpha,
+        uniforms=None if corr is None else (corr[:, 4], corr[:, 5]),
+    )
     h = normalize(local_to_world(h_local, surf.tangent, surf.binormal, nrm))
     dir_s = normalize(reflect(-v, h))
     f0 = 0.04 * (1.0 - metal_c[:, None]) + surf.base_color * metal_c[:, None]

@@ -168,6 +168,7 @@ def _shade_kernel(
     clamp_weights: bool,
     t_min: float,
     t_max: float,
+    corr: bool = False,
 ):
     if first:
         (mat_tab, light_tab, params, carry_ref, ray_ref, out_ref,
@@ -182,6 +183,19 @@ def _shade_kernel(
 
     def icol(ref, k):
         return pltpu.bitcast(col(ref, k), jnp.int32)
+
+    # correlated per-block sampler (ops.rng.block_uniform_table): this
+    # block's six shared uniforms live in params row 1 + program_id; a
+    # substituted draw is the scalar broadcast over the whole block
+    if corr:
+        pid = pl.program_id(0)
+        _cu = [params[1 + pid, k] for k in range(6)]
+
+        def _corr_sub(k, tile_like):
+            return jnp.zeros_like(tile_like) + _cu[k]
+    else:
+        def _corr_sub(k, tile_like):  # pragma: no cover - corr off
+            raise AssertionError
 
     # --- unpack carry -------------------------------------------------------
     seed0 = pltpu.bitcast(col(carry_ref, C_SEED), jnp.uint32)
@@ -272,10 +286,14 @@ def _shade_kernel(
     metal_c = jnp.clip(metal, 0.01, 0.99)
 
     seed, r1 = _rnd(seed0)
+    if corr:
+        r1 = _corr_sub(0, r1)
     is_diffuse = r1 < ratio
 
     # ---- diffuse branch (light pick + NEE + cosine hemisphere) ----
     seed_d, r_light = _rnd(seed)
+    if corr:
+        r_light = _corr_sub(1, r_light)
     lidx = jnp.clip(
         (r_light * float(n_lights)).astype(jnp.int32), 0, n_lights - 1
     )
@@ -351,6 +369,9 @@ def _shade_kernel(
     # cosine hemisphere bounce (random.glsl:35-45) in the (T,B,N) frame
     seed_d, hr1 = _rnd(seed_d)
     seed_d, hr2 = _rnd(seed_d)
+    if corr:
+        hr1 = _corr_sub(2, hr1)
+        hr2 = _corr_sub(3, hr2)
     sq = jnp.sqrt(hr1)
     phi = M_TWO_PI * hr2
     cxl = jnp.cos(phi) * sq
@@ -372,6 +393,9 @@ def _shade_kernel(
     a2c = alpha_c * alpha_c
     seed_s, g1 = _rnd(seed)
     seed_s, g2 = _rnd(seed_s)
+    if corr:
+        g1 = _corr_sub(4, g1)
+        g2 = _corr_sub(5, g2)
     cos_t = jnp.sqrt(jnp.maximum((1.0 - g2) / ((a2c - 1.0) * g2 + 1.0), 0.0))
     sin_t = jnp.clip(jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 0.0)), 0.0, 1.0)
     gphi = g1 * M_TWO_PI
@@ -500,11 +524,13 @@ def shade_call(
     d: int, first: bool, resolve_hd: bool, n_mats: int, n_lights: int,
     hitdist_weight: float, hitdist_accumulate: bool,
     clamp_weights: bool, t_min: float, t_max: float, interpret: bool,
-    trace_out_shadow=None,
+    trace_out_shadow=None, corr: bool = False,
 ):
     """One shade step over packed blocks.
 
-    ``params``: (1, 8) f32 dynamic scalars [clear rgb | unused].
+    ``params``: (1, 8) f32 dynamic scalars [clear rgb | unused]; with
+    ``corr`` it is (1 + R//PROG_ROWS, 8) — row 1+i holds block i's shared
+    sampling uniforms (ops.rng.block_uniform_table).
     ``carry``: (R, CARRY_COLS*128). ``ray_main``: the (R, 7*128) ray block
     traced for bounce d. ``trace_out``: its resolve trace output
     (R, OUT_COLS_RESOLVE*128). ``trace_out_shadow`` (required unless
@@ -537,7 +563,7 @@ def shade_call(
         d=d, first=first, resolve_hd=resolve_hd, n_mats=n_mats,
         n_lights=n_lights,
         hitdist_weight=hitdist_weight, hitdist_accumulate=hitdist_accumulate,
-        clamp_weights=clamp_weights, t_min=t_min, t_max=t_max,
+        clamp_weights=clamp_weights, t_min=t_min, t_max=t_max, corr=corr,
     )
     carry2, next_rays, shadow_rays = pl.pallas_call(
         kernel,
@@ -583,7 +609,7 @@ def bounce_chain_packed(
     scene, tracer, carry, *,
     depth: int, start_depth: int, clear_color,
     hitdist_weight: float, hitdist_accumulate: bool, clamp_weights: bool,
-    t_min: float, t_max: float,
+    t_min: float, t_max: float, corr_seed=None,
 ):
     """The bounce loop with ZERO (N,3) XLA math inside: trace and shade both
     operate on packed (rows, K*128) blocks; conversions happen once at entry
@@ -638,17 +664,26 @@ def bounce_chain_packed(
     # only reads idx >= 0 (raytrace.rgen:85-96: terminate-on-first-hit).
     first = True
     out_sh = None
+    corr = corr_seed is not None
+    n_blocks = carry_blk.shape[0] // PROG_ROWS
     for d in range(start_depth, depth):
+        params_d = params
+        if corr:
+            from vkrt_tpu.ops.rng import block_uniform_table
+
+            params_d = jnp.concatenate(
+                [params, block_uniform_table(n_blocks, corr_seed, d)], axis=0
+            )
         out = tracer.closest_packed(ray_cur, t_min)
         carry_blk, next_rays, shadow_rays = shade_call(
-            mat_tab, light_tab, params, carry_blk, ray_cur, out,
+            mat_tab, light_tab, params_d, carry_blk, ray_cur, out,
             d=d, first=first, resolve_hd=(not first and d - 1 == 1),
             n_mats=n_mats, n_lights=n_lights,
             hitdist_weight=hitdist_weight,
             hitdist_accumulate=hitdist_accumulate,
             clamp_weights=clamp_weights, t_min=t_min, t_max=t_max,
             interpret=tracer.interpret,
-            trace_out_shadow=out_sh,
+            trace_out_shadow=out_sh, corr=corr,
         )
         rays_shadow = rays_shadow + jnp.sum(
             carry_blk[:, C_PSH * LANES : (C_PSH + 1) * LANES]

@@ -40,6 +40,7 @@ slices one (8, 128) tile per program — fully pipelined by Mosaic.
 from __future__ import annotations
 
 import collections
+import dataclasses
 import functools
 from typing import NamedTuple
 
@@ -174,6 +175,90 @@ DEFER_RESOLVE = os.environ.get("VKRT_DEFER_RESOLVE", "0") == "1"
 GROUP_GATE = os.environ.get("VKRT_GROUP_GATE", "0") == "1"
 
 
+@dataclasses.dataclass(frozen=True)
+class TraceSpec:
+    """Per-tracer kernel configuration.
+
+    Round 3 kept these as import-time module globals, which pinned one
+    process to one configuration — the measured per-scene CLUSTER optimum
+    (128 on city-class geometry: +1.7% and 1.5x faster compiles; 64 on
+    Cornell-class: 128 was a 17% loss) could not ship, and every A/B needed
+    a re-imported module copy. A TraceSpec instead rides on the
+    ClusterScene it packed (registered as a STATIC pytree node, so it is
+    jit-cache-key data, not a traced leaf): two tracers with different
+    specs coexist in one process and each launch compiles for its own
+    constants.
+
+    The module-level env globals above remain the DEFAULTS (so
+    ``VKRT_CLUSTER=128 python ...`` still pins a process-wide choice for
+    sweep harnesses), but nothing below reads them directly.
+    """
+
+    cluster: int = CLUSTER          # triangles per cluster (culling grain)
+    block_rows: int = BLOCK_ROWS    # ray rows per kernel program
+    isect: str = ISECT              # "mt" | "bw" ray-triangle intersector
+    keypack: bool = KEYPACK         # packed-key winner merge (plain kernels)
+    row_gate: bool = ROW_GATE       # per-row cluster-work gating
+    inc_vote: bool = INC_VOTE       # incremental near-to-far cluster votes
+    pure_any: bool = PURE_ANY       # pure any-hit row specialization
+    defer_resolve: bool = DEFER_RESOLVE  # two-phase attribute resolve
+    group_gate: bool = GROUP_GATE   # per-8-triangle-group vote gating
+    attr_vmem_budget: int = ATTR_VMEM_BUDGET
+
+    def __post_init__(self):
+        assert self.cluster in (32, 64, 128), self.cluster
+        assert self.block_rows in (8, 16), self.block_rows
+        assert self.isect in ("mt", "bw"), self.isect
+
+    # --- derived constants ---------------------------------------------
+    @property
+    def n_tri_cols(self) -> int:
+        return 12 if self.isect == "bw" else 9
+
+    @property
+    def prog_rows(self) -> int:
+        return self.block_rows
+
+    @property
+    def pp(self) -> bool:
+        """Pre-pivoted component layout (see _layout_col)."""
+        return self.cluster in (64, 128)
+
+    @property
+    def gpc(self) -> int:
+        """MT groups per cluster (lanes per cluster in pivoted layout)."""
+        return self.cluster // GROUP
+
+    @property
+    def cpt(self) -> int:
+        """Clusters per (8,128) tile in the pivoted layout."""
+        return LANES // self.gpc
+
+
+# Static node: flattens to zero leaves with itself as treedef aux data, so a
+# ClusterScene carrying its spec stays a valid jit argument and the spec
+# participates in the compilation cache key.
+jax.tree_util.register_static(TraceSpec)
+
+DEFAULT_SPEC = TraceSpec()
+
+# City/Sponza-class triangle count at which CLUSTER=128 measured faster
+# (interleaved A/B, STATUS r3: city d4 +1.7% e2e, 1.5x faster compile)
+# while Cornell-class geometry measured it a 17% loss.
+BIG_SCENE_TRIS = 100_000
+
+
+def spec_for_scene(n_tris: int) -> TraceSpec:
+    """Per-scene kernel spec (VERDICT r3 item 2): big scenes take
+    CLUSTER=128, small scenes keep 64. An explicit VKRT_CLUSTER env pin
+    wins over the heuristic (sweep harnesses rely on it)."""
+    if "VKRT_CLUSTER" in os.environ:
+        return DEFAULT_SPEC
+    if n_tris >= BIG_SCENE_TRIS:
+        return dataclasses.replace(DEFAULT_SPEC, cluster=128)
+    return DEFAULT_SPEC
+
+
 class ClusterScene(NamedTuple):
     """Triangle + vote-tree data packed for the kernel (host-built)."""
 
@@ -214,6 +299,10 @@ class ClusterScene(NamedTuple):
     # point-encoded at 1e30 (see _build_levels). Always built (cheap numpy);
     # only DMA'd to VMEM when the gate is on.
     group_aabb: jnp.ndarray = ()
+    # the kernel configuration this scene was packed for (STATIC pytree
+    # node — jit-cache-key data, zero leaves); consumers derive every
+    # layout/kernel constant from here, never from the module globals
+    spec: TraceSpec = DEFAULT_SPEC
 
 
 def _inverted_aabb(n):
@@ -301,7 +390,8 @@ def _build_levels(cluster_aabb6: np.ndarray):
     return tuple(level_aabb), tuple(level_order), tuple(counts)
 
 
-def build_cluster_scene(tri_v0, tri_e1, tri_e2, attrs=None) -> ClusterScene:
+def build_cluster_scene(tri_v0, tri_e1, tri_e2, attrs=None,
+                        spec: TraceSpec = None) -> ClusterScene:
     """Pack triangles into clusters + vote tree for the kernel.
 
     Prefers the native binned-SAH decomposition (native/bvh_builder.cpp via
@@ -315,23 +405,26 @@ def build_cluster_scene(tri_v0, tri_e1, tri_e2, attrs=None) -> ClusterScene:
     """
     from vkrt_tpu.utils import native
 
+    if spec is None:
+        spec = DEFAULT_SPEC
     sah = native.build_sah_clusters(
         np.asarray(tri_v0, np.float32),
         np.asarray(tri_e1, np.float32),
         np.asarray(tri_e2, np.float32),
-        CLUSTER,
+        spec.cluster,
         FANOUT,
     )
     if sah is not None:
         tri_order, cluster_aabb, _super_aabb, n_clusters, _ = sah
         return _pack_cluster_scene(tri_v0, tri_e1, tri_e2, tri_order,
-                                   cluster_aabb, n_clusters, attrs)
-    return _build_cluster_scene_morton(tri_v0, tri_e1, tri_e2, attrs)
+                                   cluster_aabb, n_clusters, attrs, spec)
+    return _build_cluster_scene_morton(tri_v0, tri_e1, tri_e2, attrs, spec)
 
 
-def _attrs_fit_budget(t_pad: int) -> bool:
+def _attrs_fit_budget(t_pad: int, spec: TraceSpec) -> bool:
     """Do geometry + attribute tables fit the resident-VMEM budget?"""
-    return 4 * t_pad * (N_TRI_COLS + ATTR_TABLES) <= ATTR_VMEM_BUDGET
+    return 4 * t_pad * (spec.n_tri_cols + ATTR_TABLES) \
+        <= spec.attr_vmem_budget
 
 
 # Pre-pivoted component layout (CLUSTER=64 only): tile row (c//16)*8 + s,
@@ -343,30 +436,33 @@ def _attrs_fit_budget(t_pad: int) -> bool:
 # pivots/visit plain, ~280 with attribute resolve — measured 21% of
 # dynamic-visit cost on geometry alone, benchmarks/scratch/variants.py
 # bit16 25.1 -> ppbit16 19.7 ms). Same bytes, same VMEM.
-_PP = CLUSTER in (64, 128)
-_GPC = CLUSTER // GROUP      # MT groups per cluster (lanes per cluster)
-_CPT = LANES // _GPC         # clusters per (8,128) tile
+# (kept as module names for the scratch harnesses; internal code reads the
+# TraceSpec properties pp/gpc/cpt instead)
+_PP = DEFAULT_SPEC.pp
+_GPC = DEFAULT_SPEC.gpc      # MT groups per cluster (lanes per cluster)
+_CPT = DEFAULT_SPEC.cpt      # clusters per (8,128) tile
 
 
-def _layout_col(flat: np.ndarray) -> np.ndarray:
+def _layout_col(flat: np.ndarray, spec: TraceSpec) -> np.ndarray:
     """(T_pad,) packed-slot-order component -> device table layout."""
-    if not _PP:
+    if not spec.pp:
         return flat.reshape(-1, LANES)
-    n_c = flat.size // CLUSTER
-    a = flat.reshape(n_c, _GPC, 8).transpose(0, 2, 1)        # (c, s, g)
-    a = a.reshape(-1, _CPT, 8, _GPC).transpose(0, 2, 1, 3)   # (t, s, ci, g)
-    return np.ascontiguousarray(a.reshape(-1, LANES))
+    n_c = flat.size // spec.cluster
+    a = flat.reshape(n_c, spec.gpc, 8).transpose(0, 2, 1)      # (c, s, g)
+    a = a.reshape(-1, spec.cpt, 8, spec.gpc).transpose(0, 2, 1, 3)
+    return np.ascontiguousarray(a.reshape(-1, LANES))          # (t, s, ci, g)
 
 
-def _dirty_rows(dirty_clusters: np.ndarray) -> np.ndarray:
+def _dirty_rows(dirty_clusters: np.ndarray, spec: TraceSpec) -> np.ndarray:
     """Cluster dirty mask -> device-table row dirty mask (layout-aware)."""
-    if not _PP:
-        return dirty_clusters.reshape(-1, LANES // CLUSTER).any(axis=1)
-    tile_dirty = dirty_clusters.reshape(-1, _CPT).any(axis=1)
+    if not spec.pp:
+        return dirty_clusters.reshape(-1, LANES // spec.cluster).any(axis=1)
+    tile_dirty = dirty_clusters.reshape(-1, spec.cpt).any(axis=1)
     return np.repeat(tile_dirty, 8)
 
 
-def _pack_attr_cols(tri_order, attrs, sel=None, as_numpy=False) -> tuple:
+def _pack_attr_cols(tri_order, attrs, sel=None, as_numpy=False,
+                    spec: TraceSpec = DEFAULT_SPEC) -> tuple:
     """Pack per-corner attributes into 26 delta-form column tables (see
     ATTR_TABLES for the layout), reordered by the packed slot order.
 
@@ -396,7 +492,7 @@ def _pack_attr_cols(tri_order, attrs, sel=None, as_numpy=False) -> tuple:
     srcs.append(tm)
     assert len(srcs) == ATTR_TABLES
     cols = tuple(
-        _layout_col(np.where(valid, s, 0.0).astype(np.float32))
+        _layout_col(np.where(valid, s, 0.0).astype(np.float32), spec)
         for s in srcs
     )
     if as_numpy:
@@ -404,7 +500,7 @@ def _pack_attr_cols(tri_order, attrs, sel=None, as_numpy=False) -> tuple:
     return tuple(jnp.asarray(c) for c in cols)
 
 
-def _tri_component_arrays(v0, e1, e2):
+def _tri_component_arrays(v0, e1, e2, spec: TraceSpec = DEFAULT_SPEC):
     """Per-slot intersector component arrays ((S,) f32 each, table order).
 
     mt: v0/e1/e2 xyz (Möller-Trumbore operands). bw: the Baldwin-Weber
@@ -416,7 +512,7 @@ def _tri_component_arrays(v0, e1, e2):
     bleed into every u/v. Degenerate (pad) triangles get all-zero rows:
     n̂ = 0 ⇒ denom = 0 ⇒ guarded invalid, exactly like mt's det = 0.
     """
-    if ISECT == "mt":
+    if spec.isect == "mt":
         return [np.ascontiguousarray(a[:, j], np.float32)
                 for a in (v0, e1, e2) for j in range(3)]
     v0d = v0.astype(np.float64)
@@ -457,7 +553,8 @@ def _group_aabbs(v0s, e1s, e2s, valid) -> np.ndarray:
 
 
 def _pack_cluster_scene(tri_v0, tri_e1, tri_e2, tri_order, cluster_aabb,
-                        n_clusters, attrs=None) -> ClusterScene:
+                        n_clusters, attrs=None,
+                        spec: TraceSpec = DEFAULT_SPEC) -> ClusterScene:
     v0 = np.asarray(tri_v0, np.float32)
     e1 = np.asarray(tri_e1, np.float32)
     e2 = np.asarray(tri_e2, np.float32)
@@ -468,16 +565,16 @@ def _pack_cluster_scene(tri_v0, tri_e1, tri_e2, tri_order, cluster_aabb,
     v0s = np.where(vm, v0[safe], 0.0)
     e1s = np.where(vm, e1[safe], 0.0)
     e2s = np.where(vm, e2[safe], 0.0)
-    comps = _tri_component_arrays(v0s, e1s, e2s)
-    tri_cols = tuple(jnp.asarray(_layout_col(c)) for c in comps)
+    comps = _tri_component_arrays(v0s, e1s, e2s, spec)
+    tri_cols = tuple(jnp.asarray(_layout_col(c, spec)) for c in comps)
     group_aabb = jnp.asarray(_group_aabbs(v0s, e1s, e2s, valid))
     level_aabb, level_order, counts = _build_levels(
         np.asarray(cluster_aabb[:, :6], np.float32)
     )
     sup_oct_aabb, sup_oct_id = _build_super_octants(level_aabb, counts)
     attr_cols = ()
-    if attrs is not None and _attrs_fit_budget(tri_order.size):
-        attr_cols = _pack_attr_cols(np.asarray(tri_order), attrs)
+    if attrs is not None and _attrs_fit_budget(tri_order.size, spec):
+        attr_cols = _pack_attr_cols(np.asarray(tri_order), attrs, spec=spec)
     return ClusterScene(
         tri_cols=tri_cols,
         level_aabb=level_aabb,
@@ -490,6 +587,7 @@ def _pack_cluster_scene(tri_v0, tri_e1, tri_e2, tri_order, cluster_aabb,
         sup_oct_id=sup_oct_id,
         attr_cols=attr_cols,
         group_aabb=group_aabb,
+        spec=spec,
     )
 
 
@@ -525,8 +623,11 @@ def _build_super_octants(level_aabb, counts):
     return jnp.asarray(aabb_out), jnp.asarray(id_out)
 
 
-def _build_cluster_scene_morton(tri_v0, tri_e1, tri_e2, attrs=None) -> ClusterScene:
+def _build_cluster_scene_morton(tri_v0, tri_e1, tri_e2, attrs=None,
+                                spec: TraceSpec = DEFAULT_SPEC) -> ClusterScene:
     from vkrt_tpu.bvh.lbvh import morton3d
+
+    CLUSTER = spec.cluster  # local shadow: packing grain of THIS scene
 
     v0 = np.asarray(tri_v0, np.float32)
     e1 = np.asarray(tri_e1, np.float32)
@@ -570,7 +671,7 @@ def _build_cluster_scene_morton(tri_v0, tri_e1, tri_e2, attrs=None) -> ClusterSc
             cmax[c] = bmax_o[s:e][m].max(0)
     cluster_aabb = np.concatenate([cmin, cmax], 1)
     return _pack_cluster_scene(tri_v0, tri_e1, tri_e2, tri_order,
-                               cluster_aabb, n_clusters_pad, attrs)
+                               cluster_aabb, n_clusters_pad, attrs, spec)
 
 
 # Bounded host-side mirror cache for the two refit inputs that otherwise
@@ -628,6 +729,8 @@ def refit_cluster_scene(cs: ClusterScene, tri_v0, tri_e1, tri_e2,
     e1 = np.asarray(tri_e1, np.float32)
     e2 = np.asarray(tri_e2, np.float32)
     moved = np.asarray(moved, bool)
+    spec = cs.spec
+    CLUSTER = spec.cluster  # local shadow: THIS scene's packing grain
     # (T_pad,) packed slot -> orig; constant across refits — cached so the
     # steady-state animation loop never pulls it from the device
     order = _cached_np(cs.tri_remap, lambda a: np.asarray(a))
@@ -641,14 +744,14 @@ def refit_cluster_scene(cs: ClusterScene, tri_v0, tri_e1, tri_e2,
     # update packed triangle columns for dirty clusters only (device-table
     # row granularity, layout-aware: pre-pivoted tables dirty 8 rows per
     # 16-cluster tile, row-major tables LANES//CLUSTER clusters per row)
-    rows_dirty = _dirty_rows(dirty)
+    rows_dirty = _dirty_rows(dirty, spec)
     r_idx = np.nonzero(rows_dirty)[0]
     # Host cost scales with the MOVED subset, not the scene: recompute
     # components only on the dirty rows' slots. The device layout is
     # tile-local (pre-pivoted: 8 rows = one 16-cluster tile = 8*LANES
     # slots; row-major: 1 row = LANES slots), so _layout_col over the
     # concatenated dirty slot ranges yields exactly the dirty rows.
-    if _PP:
+    if spec.pp:
         sel = (
             (r_idx[::8] // 8)[:, None] * (8 * LANES) + np.arange(8 * LANES)
         ).reshape(-1)
@@ -659,9 +762,9 @@ def refit_cluster_scene(cs: ClusterScene, tri_v0, tri_e1, tri_e2,
     vm = vsel[:, None]
     comps = _tri_component_arrays(
         np.where(vm, v0[ssel], 0.0), np.where(vm, e1[ssel], 0.0),
-        np.where(vm, e2[ssel], 0.0),
+        np.where(vm, e2[ssel], 0.0), spec,
     )
-    fresh_tri = np.stack([_layout_col(c) for c in comps])  # (9|12, R, 128)
+    fresh_tri = np.stack([_layout_col(c, spec) for c in comps])  # (9|12, R, 128)
 
     # attribute columns move with the geometry (normals/tangents rotate
     # under a re-pose); refresh the dirty rows from the caller's updated
@@ -671,7 +774,7 @@ def refit_cluster_scene(cs: ClusterScene, tri_v0, tri_e1, tri_e2,
         assert attrs is not None, \
             "refit of an attribute-resolving ClusterScene needs attrs"
         fresh_attr = np.stack(
-            _pack_attr_cols(order, attrs, sel=sel, as_numpy=True)
+            _pack_attr_cols(order, attrs, sel=sel, as_numpy=True, spec=spec)
         )  # (26, R, 128)
     else:
         fresh_attr = np.zeros((0, len(r_idx), LANES), np.float32)
@@ -696,7 +799,7 @@ def refit_cluster_scene(cs: ClusterScene, tri_v0, tri_e1, tri_e2,
         c_v0.reshape(-1, 3), c_e1.reshape(-1, 3), c_e2.reshape(-1, 3),
         vld.reshape(-1),
     )
-    g_rows = (dc[:, None] * _GPC + np.arange(_GPC)).reshape(-1)
+    g_rows = (dc[:, None] * spec.gpc + np.arange(spec.gpc)).reshape(-1)
     new_cols, new_attr_cols, group_aabb = _apply_refit(
         tuple(cs.tri_cols), tuple(cs.attr_cols), cs.group_aabb,
         jnp.asarray(r_idx), jnp.asarray(fresh_tri),
@@ -769,40 +872,40 @@ def _slab_vote(aabb_ref, idx, ox, oy, oz, ix, iy, iz, t_min, t_lim):
     return tnear <= tfar
 
 
-def _cluster_tiles(tri_refs, c):
+def _cluster_tiles(tri_refs, c, spec: TraceSpec):
     """Extract cluster c's triangle components as lists of (8, 1) group
     columns, one list per table.
 
-    CLUSTER=64 (production): tables are PRE-PIVOTED (see _layout_col) — one
-    dynamic sublane read of the cluster's (8, 128) tile, one dynamic lane
-    rotation to bring its 8 lanes to the front, then static width-1 lane
+    CLUSTER=64/128 (production): tables are PRE-PIVOTED (see _layout_col) —
+    one dynamic sublane read of the cluster's (8, 128) tile, one dynamic
+    lane rotation to bring its lanes to the front, then static width-1 lane
     slices. No shape casts.
 
     CLUSTER=32 (sweep knob): row-major tables — load the row, select the
     piece by scalar predicates, then cut static (1, 8) group slices and
     pivot each to a sublane column ((1,64)->(8,8) reshapes and dynamic
     lane slicing are rejected / crash the compile helper)."""
-    if _PP:
-        t8 = (c // _CPT) * 8
-        shift = (LANES - (c % _CPT) * _GPC) % LANES
+    if spec.pp:
+        t8 = (c // spec.cpt) * 8
+        shift = (LANES - (c % spec.cpt) * spec.gpc) % LANES
         tiles = []
         for r in tri_refs:
             blk = pltpu.roll(r[pl.ds(t8, 8), :], shift, 1)
-            tiles.append([blk[:, g : g + 1] for g in range(_GPC)])
+            tiles.append([blk[:, g : g + 1] for g in range(spec.gpc)])
         return tiles
-    per_row = LANES // CLUSTER
+    per_row = LANES // spec.cluster
     row = c // per_row
     tiles = []
     for r in tri_refs:
         piece = r[pl.ds(row, 1), :]                     # (1,128)
         piece = jnp.where((c % per_row) >= per_row // 2,
                           piece[:, 64:], piece[:, :64])  # (1,64)
-        if CLUSTER == 32:
+        if spec.cluster == 32:
             piece = jnp.where((c % 2) == 1, piece[:, 32:], piece[:, :32])
         tiles.append(
             [
                 piece[:, g * GROUP : (g + 1) * GROUP].reshape(GROUP, 1)
-                for g in range(CLUSTER // GROUP)
+                for g in range(spec.gpc)
             ]
         )
     return tiles
@@ -871,9 +974,6 @@ def _bw_group(tiles, g, ox, oy, oz, dx, dy, dz, t_min):
     return jnp.where(valid, t, INF), u, v, valid, (hx, hy, hz)
 
 
-_isect_group = _bw_group if ISECT == "bw" else _mt_group
-
-
 def _or_reduce_scalar(mask):
     """(8,128) uint32 bitmask -> scalar uint32 OR over every lane.
 
@@ -934,9 +1034,9 @@ def _for_each_set_bit(word, body):
     jax.lax.fori_loop(0, _popcount32(word_u), step, word_u)
 
 
-def _trace_kernel(n_levels: int, t_min: float, true_super: int,
-                  resolve: bool, inc_vote: bool, group_gate: bool,
-                  pure_any: bool, defer: bool, *refs):
+def _trace_kernel(spec: TraceSpec, n_levels: int, t_min: float,
+                  true_super: int, resolve: bool, inc_vote: bool,
+                  group_gate: bool, pure_any: bool, defer: bool, *refs):
     """Unified closest/any trace: static super-word scan + voted visits.
 
     Rays arrive as ONE packed (8, 7*128) block [o.xyz | d.xyz | t_lim]
@@ -962,6 +1062,11 @@ def _trace_kernel(n_levels: int, t_min: float, true_super: int,
     tile-ordered Cornell primaries).
     """
     L = n_levels
+    BLOCK_ROWS = spec.block_rows    # local shadows of THIS launch's config
+    CLUSTER = spec.cluster
+    _GPC = spec.gpc
+    ROW_GATE = spec.row_gate
+    _isect_group = _bw_group if spec.isect == "bw" else _mt_group
     aabb_refs = refs[0:L]
     sup_oct_aabb, sup_oct_id = refs[L], refs[L + 1]
     nxt = L + 2
@@ -972,15 +1077,15 @@ def _trace_kernel(n_levels: int, t_min: float, true_super: int,
     out_cols = OUT_COLS_RESOLVE if resolve else OUT_COLS_PLAIN
     # see KEYPACK: plain kernels only; a pure-any pool's hit-bit merge is
     # strictly cheaper than the packed-key merge, so pure_any wins the slot
-    keypack = KEYPACK and not resolve and not pure_any
+    keypack = spec.keypack and not resolve and not pure_any
     # caller enables group_gate only for plain non-keypack launches
     use_ggate = group_gate
     group_ref = None
     if use_ggate:
         group_ref = refs[nxt]
         nxt += 1
-    tri_refs = refs[nxt : nxt + N_TRI_COLS]
-    nxt += N_TRI_COLS
+    tri_refs = refs[nxt : nxt + spec.n_tri_cols]
+    nxt += spec.n_tri_cols
     attr_refs = ()
     if resolve:
         attr_refs = refs[nxt : nxt + ATTR_TABLES]
@@ -1045,10 +1150,13 @@ def _trace_kernel(n_levels: int, t_min: float, true_super: int,
         costs 2 FMAs per component per candidate; the winner is selected
         with the same pick mask as u/v.
         """
-        tiles = _cluster_tiles(tri_refs, c)
+        tiles = _cluster_tiles(tri_refs, c, spec)
         # deferred resolve extracts attr tiles only inside phase B (per
         # improved row-visit), not once per visit
-        atiles = _cluster_tiles(attr_refs, c) if resolve and not defer else None
+        atiles = (
+            _cluster_tiles(attr_refs, c, spec)
+            if resolve and not defer else None
+        )
 
         if use_ggate:
             # one vector pass votes every row's rays against this cluster's
@@ -1241,7 +1349,7 @@ def _trace_kernel(n_levels: int, t_min: float, true_super: int,
                     # winners that live in cluster c, picked by exact
                     # winner identity with the already-merged u/v — runs
                     # only when this visit improved the row
-                    atl = _cluster_tiles(attr_refs, c)
+                    atl = _cluster_tiles(attr_refs, c, spec)
                     idx_r = pltpu.bitcast(
                         out_ref[row : row + 1, LANES : 2 * LANES], jnp.int32
                     )
@@ -1499,15 +1607,15 @@ def _trace_kernel(n_levels: int, t_min: float, true_super: int,
 # inside the frame loop (whole-frame buffers tripped compile-time VMEM OOM).
 # Must be a PROG_ROWS multiple; env override for measurement sweeps.
 CHUNK_ROWS = int(os.environ.get("VKRT_CHUNK_ROWS", "1200"))
-assert CHUNK_ROWS % PROG_ROWS == 0, (CHUNK_ROWS, PROG_ROWS)
+assert CHUNK_ROWS % 16 == 0, CHUNK_ROWS  # divisible by every prog_rows
 
 
-def _pack_rays(orig, direction, t_lim):
-    """Pad to PROG_ROWS blocks and pack components lane-wise into ONE array:
+def _pack_rays(orig, direction, t_lim, prog_rows: int = PROG_ROWS):
+    """Pad to prog_rows blocks and pack components lane-wise into ONE array:
     (rows, 7*128) [o | d | t_lim], so each kernel program takes a single
     input DMA."""
     n = orig.shape[0]
-    block = PROG_ROWS * LANES
+    block = prog_rows * LANES
     n_pad = (-n) % block
     if n_pad:
         # park pad-ray origins at 1e30 with t_lim=-1: an origin-0/dir-0 pad
@@ -1545,24 +1653,26 @@ def _packed_trace(cs: ClusterScene, packed, n_levels, t_min, true_super,
     """Core chunked kernel launch: packed rays (R, 7*128) -> packed hit
     blocks (R, out_cols*128). Shared by the (N,3) API and the fully-packed
     bounce loop (ops.pallas.shade)."""
+    spec = cs.spec
+    prog_rows = spec.prog_rows
     rows = packed.shape[0]
     chunks, chunk_rows = _chunk_rows(packed, rows)
     out_cols = OUT_COLS_RESOLVE if resolve else OUT_COLS_PLAIN
     ray_spec = pl.BlockSpec(
-        (PROG_ROWS, 7 * LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+        (prog_rows, 7 * LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
     out_spec = pl.BlockSpec(
-        (PROG_ROWS, out_cols * LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+        (prog_rows, out_cols * LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
     # group gating: plain non-keypack kernels only (resolve's attr machinery
     # keeps carried locals; keypack's single-key merge has its own row path;
     # pure-any pools disable keypack in-kernel so they may gate)
-    use_ggate = GROUP_GATE and not resolve \
-        and (pure_any or not KEYPACK) \
+    use_ggate = spec.group_gate and not resolve \
+        and (pure_any or not spec.keypack) \
         and getattr(cs.group_aabb, "ndim", 0) == 2
-    use_defer = DEFER_RESOLVE and resolve
+    use_defer = spec.defer_resolve and resolve
     kernel = functools.partial(
-        _trace_kernel, n_levels, t_min, true_super, resolve, inc_vote,
+        _trace_kernel, spec, n_levels, t_min, true_super, resolve, inc_vote,
         use_ggate, pure_any, use_defer,
     )
     attr_cols = cs.attr_cols if resolve else ()
@@ -1571,21 +1681,21 @@ def _packed_trace(cs: ClusterScene, packed, n_levels, t_min, true_super,
         (cs.level_order[-1],) if inc_vote and n_levels > 1 else ()
     )
     group_ops = (cs.group_aabb,) if use_ggate else ()
-    scratch = [pltpu.VMEM((PROG_ROWS, LANES), jnp.int32)]
+    scratch = [pltpu.VMEM((prog_rows, LANES), jnp.int32)]
     if use_ggate or use_defer:
-        scratch.append(pltpu.VMEM((PROG_ROWS, LANES), jnp.int32))
+        scratch.append(pltpu.VMEM((prog_rows, LANES), jnp.int32))
 
     def chunk_body(chunk):
         out = pl.pallas_call(
             kernel,
-            grid=(chunk_rows // PROG_ROWS,),
+            grid=(chunk_rows // prog_rows,),
             in_specs=[
                 # AABB/order tables live in VMEM: SMEM overflows past ~2k
                 # nodes and Mosaic supports scalar loads from VMEM refs
                 *[pl.BlockSpec(memory_space=pltpu.VMEM)]
                 * (n_levels + 2 + len(order_ops) + len(group_ops)),
                 *[pl.BlockSpec(memory_space=pltpu.VMEM)]
-                * (N_TRI_COLS + len(attr_cols)),
+                * (spec.n_tri_cols + len(attr_cols)),
                 ray_spec,
             ],
             out_specs=out_spec,
@@ -1613,20 +1723,20 @@ def _trace_call_packed(cs: ClusterScene, packed, n_levels, t_min,
                        true_super, interpret, resolve=True, inc_vote=None,
                        pure_any=False):
     if inc_vote is None:
-        inc_vote = INC_VOTE
+        inc_vote = cs.spec.inc_vote
     return _packed_trace(cs, packed, n_levels, t_min, true_super,
                          interpret, resolve, inc_vote, pure_any=pure_any)
 
 
-def _slot_flat_index(slot):
+def _slot_flat_index(slot, spec: TraceSpec):
     """Packed slot id -> flat element index into a device column table
     (inverse of _layout_col's permutation)."""
-    if not _PP:
+    if not spec.pp:
         return slot
-    c = slot // CLUSTER
-    g = (slot % CLUSTER) // GROUP
+    c = slot // spec.cluster
+    g = (slot % spec.cluster) // GROUP
     s = slot % GROUP
-    return ((c // _CPT) * 8 + s) * LANES + (c % _CPT) * _GPC + g
+    return ((c // spec.cpt) * 8 + s) * LANES + (c % spec.cpt) * spec.gpc + g
 
 
 def _uv_from_hit(cs, idx, t, orig, direction):
@@ -1634,13 +1744,13 @@ def _uv_from_hit(cs, idx, t, orig, direction):
     track per-candidate u/v): evaluate the intersector's own functionals
     at the hit point p = o + t*d. ~8-9 gathered floats per ray — a few ms
     at frame size vs the ~20%-of-visit-cost the kernel saves."""
-    flat = _slot_flat_index(jnp.maximum(idx, 0))
+    flat = _slot_flat_index(jnp.maximum(idx, 0), cs.spec)
 
     def gat(k):
         return jnp.take(cs.tri_cols[k].reshape(-1), flat)
 
     p = orig + t[:, None] * direction
-    if ISECT == "bw":
+    if cs.spec.isect == "bw":
         u = gat(4) * p[:, 0] + gat(5) * p[:, 1] + gat(6) * p[:, 2] + gat(7)
         v = gat(8) * p[:, 0] + gat(9) * p[:, 1] + gat(10) * p[:, 2] + gat(11)
         return u, v
@@ -1669,8 +1779,8 @@ def _trace_call(cs: ClusterScene, orig, direction, t_lim, n_levels, t_min,
                 true_super, interpret, resolve=False, inc_vote=None,
                 pure_any=False):
     if inc_vote is None:
-        inc_vote = INC_VOTE
-    packed, n, rows = _pack_rays(orig, direction, t_lim)
+        inc_vote = cs.spec.inc_vote
+    packed, n, rows = _pack_rays(orig, direction, t_lim, cs.spec.prog_rows)
     out_cols = OUT_COLS_RESOLVE if resolve else OUT_COLS_PLAIN
     out = _packed_trace(cs, packed, n_levels, t_min, true_super, interpret,
                         resolve, inc_vote, pure_any=pure_any)
@@ -1687,7 +1797,7 @@ def _trace_call(cs: ClusterScene, orig, direction, t_lim, n_levels, t_min,
         # visibility pools only read the hit bit; t/u/v slots are parked
         return (hit, jnp.zeros_like(t), jnp.where(hit, 0, -1),
                 jnp.zeros_like(t), jnp.zeros_like(t))
-    if KEYPACK and not resolve:
+    if cs.spec.keypack and not resolve:
         u, v = _uv_from_hit(cs, idx, t, orig[:n], direction[:n])
         u = jnp.where(hit, u, 0.0)
         v = jnp.where(hit, v, 0.0)
@@ -1719,8 +1829,13 @@ class PallasTracer(NamedTuple):
 
     cs: ClusterScene
     interpret: bool
-    # None = follow VKRT_INC_VOTE; _replace for in-process A/B sweeps
+    # None = follow cs.spec.inc_vote; _replace for in-process A/B sweeps
     inc_vote: bool = None
+
+    @property
+    def spec(self) -> TraceSpec:
+        """The kernel configuration this tracer's scene was packed for."""
+        return self.cs.spec
 
     @property
     def resolves_attrs(self) -> bool:
@@ -1791,7 +1906,8 @@ class PallasTracer(NamedTuple):
             jnp.asarray(t_max, orig.dtype), orig.shape[:1]
         )
         hit, _, _, _, _ = self._call(
-            orig, direction, t_min, -jnp.abs(t_lim), pure_any=PURE_ANY
+            orig, direction, t_min, -jnp.abs(t_lim),
+            pure_any=self.spec.pure_any,
         )
         return hit
 
@@ -1824,7 +1940,7 @@ class PallasTracer(NamedTuple):
         return _trace_call_packed(
             self.cs, rays_packed, len(counts), float(t_min), true_super,
             self.interpret, resolve=False, inc_vote=self.inc_vote,
-            pure_any=pure_any and PURE_ANY,
+            pure_any=pure_any and self.spec.pure_any,
         )
 
 
@@ -1855,12 +1971,16 @@ def tracer_with_arrays(proto: PallasTracer, arrs) -> PallasTracer:
     return proto._replace(cs=cs)
 
 
-def make_pallas_tracer(scene, interpret: bool = None) -> PallasTracer:
+def make_pallas_tracer(scene, interpret: bool = None,
+                       spec: TraceSpec = None) -> PallasTracer:
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
+    if spec is None:
+        spec = spec_for_scene(int(np.asarray(scene.tri_v0).shape[0]))
     cs = build_cluster_scene(
         scene.tri_v0, scene.tri_e1, scene.tri_e2,
         attrs=(scene.corner_normal, scene.corner_tangent, scene.corner_uv,
                scene.tri_mat),
+        spec=spec,
     )
     return PallasTracer(cs=cs, interpret=interpret)

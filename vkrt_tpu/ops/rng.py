@@ -67,3 +67,51 @@ def seed_pixels(width: int, height: int, frame):
     """Per-pixel seeds, flat row-major (N = height*width,) uint32."""
     idx = jnp.arange(width * height, dtype=jnp.uint32)
     return tea(idx, jnp.uint32(frame))
+
+
+# --- correlated per-block sampling (opt-in, see RenderSettings) -------------
+#
+# The incoherent-pool trace is visit-count-bound: a 1024-ray kernel block's
+# cluster footprint is the union of its rays' traversal footprints, and
+# independently-sampled bounce directions spread a cosine lobe over >= 4
+# octants (measured block purity 0.17-0.25, STATUS r3 "persistent binning").
+# Sharing the SAMPLING DECISIONS across a block — one lobe pick, one light
+# pick, one hemisphere point, one GGX half-vector point per (block, bounce,
+# frame) — makes a block's bounce directions cohere (identical local sample
+# vector rotated into each lane's own TBN frame) and its NEE shadow rays
+# converge on one light. Each pixel's draw is still marginally uniform and
+# independent ACROSS frames (the table is re-hashed per frame), so the
+# estimator stays unbiased with unchanged per-pixel variance; the trade is
+# correlated noise WITHIN a block per frame (structured, block-shaped noise
+# in unconverged frames) which temporal accumulation averages out at the
+# same 1/N rate. Matches the bounce loop of raytrace.rgen:62-116 in
+# distribution, not draw-for-draw.
+
+CORR_DRAWS = 6  # lobe, light, hemi r1/r2, ggx r1/r2
+
+
+def block_uniform_table(n_blocks: int, corr_seed, depth: int):
+    """(G, 8) f32 of per-block shared uniforms in [0,1) for one bounce.
+
+    ``corr_seed``: traced uint32 scalar (frame/sample mix). ``depth`` is
+    static. Columns 0-5 = CORR_DRAWS, 6-7 zero padding (the Pallas shade
+    kernel reads rows of this table directly below its params row)."""
+    i = jnp.arange(n_blocks, dtype=jnp.uint32)
+    dkey = jnp.asarray(depth).astype(jnp.uint32) * jnp.uint32(0x85EBCA6B)
+    st = tea(i, jnp.asarray(corr_seed, jnp.uint32) ^ dkey, rounds=8)
+    us = []
+    for _ in range(CORR_DRAWS):
+        st, u = rnd(st)
+        us.append(u)
+    us.append(jnp.zeros_like(us[0]))
+    us.append(jnp.zeros_like(us[0]))
+    return jnp.stack(us, axis=1)
+
+
+def corr_draws(n: int, corr_seed, depth: int, block: int = 1024):
+    """Per-lane view of the block table: (N, CORR_DRAWS) f32, each 1024-lane
+    kernel block sharing one row. Pool order must equal trace-block order
+    (it does: the engine feeds tile-ordered pools and never re-sorts)."""
+    g = -(-n // block)
+    tab = block_uniform_table(g, corr_seed, depth)[:, :CORR_DRAWS]
+    return jnp.repeat(tab, block, axis=0)[:n]

@@ -17,19 +17,29 @@ M_TWO_PI = 2.0 * M_PI
 M_INV_PI = 1.0 / M_PI
 
 
-def sampling_hemisphere(state, x, y, z):
-    """Cosine-weighted hemisphere sample around frame (x, y, z=normal).
-
-    Reference shaders/random.glsl:35-45. Returns (state, direction).
-    """
-    state, r1 = rnd(state)
-    state, r2 = rnd(state)
+def hemisphere_from_uniforms(r1, r2, x, y, z):
+    """Cosine-weighted hemisphere direction from two uniforms in [0,1)
+    (shaders/random.glsl:35-45, the math after the draws)."""
     sq = jnp.sqrt(r1)
     phi = M_TWO_PI * r2
     cx = (jnp.cos(phi) * sq)[..., None]
     cy = (jnp.sin(phi) * sq)[..., None]
     cz = jnp.sqrt(jnp.maximum(1.0 - r1, 0.0))[..., None]
-    return state, cx * x + cy * y + cz * z
+    return cx * x + cy * y + cz * z
+
+
+def sampling_hemisphere(state, x, y, z, uniforms=None):
+    """Cosine-weighted hemisphere sample around frame (x, y, z=normal).
+
+    Reference shaders/random.glsl:35-45. Returns (state, direction).
+    ``uniforms``: optional (r1, r2) overriding the lane draws (correlated
+    per-block sampling) — the lane state still advances identically.
+    """
+    state, r1 = rnd(state)
+    state, r2 = rnd(state)
+    if uniforms is not None:
+        r1, r2 = uniforms
+    return state, hemisphere_from_uniforms(r1, r2, x, y, z)
 
 
 def create_coordinate_system(n):
@@ -48,25 +58,37 @@ def create_coordinate_system(n):
     return nt, nb
 
 
-def sampling_ndf_ggxtr(state, alpha2):
+def ggxtr_half_from_uniforms(r1, r2, alpha2):
+    """GGX NDF half-vector in local space from two uniforms
+    (shaders/random.glsl:56-70, the math after the draws)."""
+    cos_theta = jnp.sqrt(
+        jnp.maximum((1.0 - r2) / ((alpha2 - 1.0) * r2 + 1.0), 0.0)
+    )
+    sin_theta = jnp.clip(
+        jnp.sqrt(jnp.maximum(1.0 - cos_theta * cos_theta, 0.0)), 0.0, 1.0
+    )
+    phi = r1 * M_TWO_PI
+    return jnp.stack(
+        [sin_theta * jnp.cos(phi), sin_theta * jnp.sin(phi), cos_theta],
+        axis=-1,
+    )
+
+
+def sampling_ndf_ggxtr(state, alpha2, uniforms=None):
     """GGX NDF half-vector sample in local (tangent) space.
 
     Reference shaders/random.glsl:56-70. Note the caller passes
     ``alpha*alpha`` with ``alpha = roughness^2`` (raytrace.rchit:191-192), so
     ``alpha2`` here is roughness^4 — reproduced faithfully. Returns
     (state, h_local) with h_local in the (tangent, binormal, normal) frame.
+    ``uniforms``: optional (r1, r2) overriding the lane draws (correlated
+    per-block sampling) — the lane state still advances identically.
     """
     state, r1 = rnd(state)
     state, r2 = rnd(state)
-    cos_theta = jnp.sqrt(
-        jnp.maximum((1.0 - r2) / ((alpha2 - 1.0) * r2 + 1.0), 0.0)
-    )
-    sin_theta = jnp.clip(jnp.sqrt(jnp.maximum(1.0 - cos_theta * cos_theta, 0.0)), 0.0, 1.0)
-    phi = r1 * M_TWO_PI
-    h = jnp.stack(
-        [sin_theta * jnp.cos(phi), sin_theta * jnp.sin(phi), cos_theta], axis=-1
-    )
-    return state, h
+    if uniforms is not None:
+        r1, r2 = uniforms
+    return state, ggxtr_half_from_uniforms(r1, r2, alpha2)
 
 
 def local_to_world(local, tangent, binormal, normal):

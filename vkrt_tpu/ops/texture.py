@@ -11,8 +11,22 @@ secondary rays (no ray differentials in the reference either).
 
 from __future__ import annotations
 
+import os
+
 import jax.numpy as jnp
 import numpy as np
+
+# Anisotropic tap count, read + validated ONCE at import (it is baked into
+# each Engine's jitted step at trace time, so later env changes would be
+# silently ignored — pin it here to make that explicit). 4 matches the
+# reference sampler's maxAnisotropy (hello_vulkan.cpp:452-454); 2 halves
+# the tap fan (16 texel gathers per fetch instead of 32) at a quality cost
+# only visible at footprint ratios near the 4x clamp.
+ANISO_TAPS = int(os.environ.get("VKRT_ANISO_TAPS", "4"))
+if ANISO_TAPS not in (2, 4):
+    raise ValueError(
+        f"VKRT_ANISO_TAPS must be 2 or 4, got {ANISO_TAPS!r}"
+    )
 
 
 def _gather_texel(tex_flat, k, y, x, th, tw):
@@ -172,7 +186,8 @@ def aniso_minor_lod(level_size, tex_idx, ddx_uv, ddy_uv):
 
 
 def sample_texture_aniso(
-    atlas, level_size, level_off, n_levels, tex_idx, uv, ddx_uv, ddy_uv
+    atlas, level_size, level_off, n_levels, tex_idx, uv, ddx_uv, ddy_uv,
+    taps=None,
 ):
     """4x anisotropic trilinear sample from screen-space UV derivatives.
 
@@ -193,13 +208,9 @@ def sample_texture_aniso(
     pmin_eff = jnp.maximum(jnp.maximum(pmin, pmax / MAX_ANISO), 1e-9)
     lod = jnp.log2(pmin_eff)
     major = jnp.where((px >= py)[:, None], ddx_uv, ddy_uv)
-    # VKRT_ANISO_TAPS=2 halves the tap fan (16 texel gathers per fetch
-    # instead of 32) at a quality cost only visible at ratios near the 4x
-    # clamp; the default 4 matches the reference sampler's maxAnisotropy.
-    import os
-
-    taps = int(os.environ.get("VKRT_ANISO_TAPS", "4"))
-    offsets = {2: (-0.25, 0.25)}.get(taps, (-0.375, -0.125, 0.125, 0.375))
+    if taps is None:
+        taps = ANISO_TAPS
+    offsets = {2: (-0.25, 0.25), 4: (-0.375, -0.125, 0.125, 0.375)}[taps]
     acc = 0.0
     for s in offsets:
         acc = acc + sample_texture_lod(

@@ -28,12 +28,18 @@ TRI_PAD = 64  # pad triangle count to a lane-friendly multiple
 
 
 def _tex_store_dtype(dtype):
-    """Texture-atlas storage dtype. VKRT_TEX_BF16=1 stores the atlas in
+    """Mip-atlas storage dtype. VKRT_TEX_BF16=1 stores the MIP atlas in
     bfloat16: texture fetch is random-gather-bound (~12 GB/s measured), so
     halving the texel bytes halves the dominant cost of the 32-gather aniso
     fetch; filtering math stays f32 (ops/texture._gather_texel casts after
     the gather). Quality: bf16's 8-bit mantissa vs 8-bit source texels is a
-    <=0.4% texel error, invisible through the BRDF and bounded by test."""
+    <=0.4% texel error, invisible through the BRDF and bounded by test.
+
+    ``tex_rgba`` (level 0, the path tracer / alpha-test array) is exempt
+    and stays f32: bf16 quantization could flip an alpha-MASK cutoff
+    comparison for alpha values landing exactly at alpha_cutoff
+    (ops/alpha.py reads it), and level-0 fetches are not the measured
+    texture bound (the hybrid aniso fan over the mip atlas is)."""
     if os.environ.get("VKRT_TEX_BF16", "0") == "1":
         return jnp.bfloat16
     return dtype
@@ -68,10 +74,13 @@ class SceneArrays(NamedTuple):
     light_intensity: jnp.ndarray  # (L,)
     light_type: jnp.ndarray       # (L,) i32
     # textures: stacked, padded to common (TH,TW); linear color space
-    tex_rgba: jnp.ndarray  # (K,TH,TW,4) f32 (level 0)
+    tex_rgba: jnp.ndarray  # (K,TH,TW,4) f32 (level 0; exempt from bf16 —
+    #                        alpha-MASK cutoffs compare against it)
     tex_size: jnp.ndarray  # (K,2) i32  (w,h)
     # full mip chains (hello_vulkan.cpp:499) packed side-by-side per texture
-    tex_mip_atlas: jnp.ndarray   # (K,TH,2*TW,4) f32
+    tex_mip_atlas: jnp.ndarray   # (K,TH,2*TW,4) f32, or bf16 under
+    #                              VKRT_TEX_BF16 (cast to f32 post-gather
+    #                              in ops/texture._gather_texel)
     tex_level_size: jnp.ndarray  # (K,L,2) i32
     tex_level_off: jnp.ndarray   # (K,L) i32
     tex_n_levels: jnp.ndarray    # (K,) i32
@@ -309,7 +318,7 @@ def build_scene(
         light_color=jnp.asarray(np.stack([l.color for l in lights]), dtype),
         light_intensity=jnp.asarray([l.intensity for l in lights], dtype),
         light_type=jnp.asarray([l.type for l in lights], jnp.int32),
-        tex_rgba=jnp.asarray(tex, _tex_store_dtype(dtype)),
+        tex_rgba=jnp.asarray(tex, dtype),  # f32 always, see _tex_store_dtype
         tex_size=jnp.asarray(tex_size, jnp.int32),
         tex_mip_atlas=jnp.asarray(atlas, _tex_store_dtype(dtype)),
         tex_level_size=jnp.asarray(level_size, jnp.int32),
