@@ -389,6 +389,65 @@ def _box(center, half, rot_y: float = 0.0):
     return tris
 
 
+def _boxes(centers, halves, rots):
+    """Vectorized ``_box`` over N boxes: (N,3),(N,3),(N,) -> (N*12,3,3) f64
+    triangles, equal to ``np.concatenate([_box(c,h,r) for ...])`` (same
+    corner order, same rotate-then-translate op order). The per-box Python
+    loop was the dominant term of the 399k-tri city build (VERDICT r3
+    item 10: ~10s of the 27s host build)."""
+    centers = np.asarray(centers, np.float64)
+    halves = np.asarray(halves, np.float64)
+    rots = np.asarray(rots, np.float64)
+    signs = np.array(
+        [
+            [-1, -1, -1], [1, -1, -1], [1, 1, -1], [-1, 1, -1],
+            [-1, -1, 1], [1, -1, 1], [1, 1, 1], [-1, 1, 1],
+        ],
+        np.float64,
+    )
+    corners = signs[None, :, :] * halves[:, None, :]  # (N,8,3)
+    c, s = np.cos(rots), np.sin(rots)
+    zero, one = np.zeros_like(c), np.ones_like(c)
+    # _box's r = [[c,0,s],[0,1,0],[-s,0,c]]; corners @ r.T, batched
+    r = np.stack(
+        [
+            np.stack([c, zero, s], -1),
+            np.stack([zero, one, zero], -1),
+            np.stack([-s, zero, c], -1),
+        ],
+        axis=1,
+    )  # (N,3,3)
+    corners = np.matmul(corners, np.swapaxes(r, 1, 2))
+    corners = corners + centers[:, None, :]
+    # the 12 (a,b,c) corner index triples _box emits, in order
+    quads = [(4, 5, 6, 7), (1, 0, 3, 2), (5, 1, 2, 6),
+             (0, 4, 7, 3), (7, 6, 2, 3), (0, 1, 5, 4)]
+    tri_idx = np.array(
+        [t for a, b, c_, d in quads for t in ((a, b, c_), (a, c_, d))],
+        np.int64,
+    )  # (12,3)
+    return corners[:, tri_idx, :].reshape(-1, 3, 3)
+
+
+def _boxes_uvs(halves, tiles):
+    """Vectorized ``_box_uvs``: (N,3),(N,) -> (N*12,3,2) f64, equal to
+    ``np.concatenate([_box_uvs(h, t) for ...])``."""
+    halves = np.asarray(halves, np.float64)
+    tiles = np.asarray(tiles, np.float64)
+    hx, hy, hz = halves[:, 0], halves[:, 1], halves[:, 2]
+    # per-face (su, sv) extents, matching _box_uvs's face order
+    su = np.stack([2 * hx, 2 * hx, 2 * hz, 2 * hz, 2 * hx, 2 * hx], -1)
+    sv = np.stack([2 * hy, 2 * hy, 2 * hy, 2 * hy, 2 * hz, 2 * hz], -1)
+    su = su * tiles[:, None]  # (N,6)
+    sv = sv * tiles[:, None]
+    zero = np.zeros_like(su)
+    # quad corners a=(0,0) b=(su,0) c=(su,sv) d=(0,sv); tris (a,b,c),(a,c,d)
+    u = np.stack([zero, su, su, zero, su, zero], -1)   # (N,6,6)
+    v = np.stack([zero, zero, sv, zero, sv, sv], -1)
+    uv = np.stack([u, v], -1)                          # (N,6,6,2)
+    return uv.reshape(-1, 2, 3, 2).reshape(-1, 3, 2)
+
+
 def _box_uvs(half, tile: float = 1.0):
     """Per-corner UVs matching _box's 12 triangles: each face mapped 0..extent
     so textures tile with world size."""
@@ -545,7 +604,6 @@ def make_city(grid: int = 16, seed: int = 7) -> SceneArrays:
     Gives the BVH a real workload (thousands to hundreds of thousands of
     triangles with uneven density) for the Sponza-class benchmark configs."""
     rng = np.random.default_rng(seed)
-    tris, mat_ids, uvs = [], [], []
     mats = [
         gltf_mod.GltfMaterial(np.array([0.7, 0.7, 0.68, 1], np.float32),
                               metallic_factor=0.0, base_color_texture=0),  # checker
@@ -558,15 +616,21 @@ def make_city(grid: int = 16, seed: int = 7) -> SceneArrays:
                               base_color_texture=2),  # window grid
     ]
 
-    def add(ts, mid, half=None, tile=0.5):
-        tris.extend(ts)
-        mat_ids.extend([mid] * len(ts))
-        uvs.extend(_box_uvs(half, tile) if half is not None
-                   else [((0, 0), (1, 0), (1, 1))] * len(ts))
+    # Parameter collection stays a Python loop (rng draw ORDER defines the
+    # scene); geometry/UV generation is one vectorized pass (_boxes /
+    # _boxes_uvs) — the per-box loop was ~10s of the 399k-tri host build
+    # (VERDICT r3 item 10).
+    centers, halves, rots, box_mats, tiles = [], [], [], [], []
+
+    def add(center, half, mid, rot=0.0, tile=0.5):
+        centers.append(center)
+        halves.append(half)
+        rots.append(rot)
+        box_mats.append(mid)
+        tiles.append(tile)
 
     span = grid * 2.0
-    add(_box((0, -0.25, 0), (span, 0.25, span)), 0,
-        half=(span, 0.25, span), tile=0.25)  # ground slab
+    add((0, -0.25, 0), (span, 0.25, span), 0, tile=0.25)  # ground slab
     for i in range(grid):
         for j in range(grid):
             x = (i - grid / 2) * 4.0 + rng.uniform(-0.5, 0.5)
@@ -574,11 +638,15 @@ def make_city(grid: int = 16, seed: int = 7) -> SceneArrays:
             h = rng.uniform(1.0, 8.0)
             w = rng.uniform(0.6, 1.6)
             half = (w, h / 2, w)
-            add(_box((x, h / 2, z), half, rng.uniform(0, 3.14)),
-                int(rng.integers(1, 4)), half=half)
+            rot = rng.uniform(0, 3.14)  # drawn before the material pick
+            add((x, h / 2, z), half, int(rng.integers(1, 4)), rot=rot)
             if rng.uniform() < 0.3:  # rooftop structure
                 rh = (w * 0.4, 0.4, w * 0.4)
-                add(_box((x, h + 0.4, z), rh), 2, half=rh)
+                add((x, h + 0.4, z), rh, 2)
+
+    tris = _boxes(centers, halves, rots)
+    uvs = _boxes_uvs(halves, tiles)
+    mat_ids = np.repeat(np.asarray(box_mats, np.int32), 12).tolist()
     lights = [
         gltf_mod.GltfLight(
             np.array([rng.uniform(-span / 2, span / 2), rng.uniform(6, 14),
