@@ -153,6 +153,50 @@ def test_view_accumulated_debug_mode(box):
     np.testing.assert_allclose(out[:, 0], out[:, 2])
 
 
+def test_view_accumulated_toggle_no_recompile(box):
+    """view_accumulated is a push constant in the reference (main.cpp:90-96,
+    no pipeline rebuild): toggling it mid-run must (a) actually change the
+    output (it was silently baked into the display closure before round 4)
+    and (b) reuse the SAME compiled step/display programs."""
+    s = RenderSettings(rt_mode=0, use_gi=False)
+    e = Engine(box, W, H, s)
+    out_normal = np.asarray(e.render_frame())
+    step0, disp0 = e._step, e._display
+    n_display = e._display._cache_size()
+
+    e.update_settings(s.replace(view_accumulated=True))
+    out_dbg = np.asarray(e.render_frame())
+    # the debug view is shadow/AO visibility as grayscale
+    np.testing.assert_allclose(out_dbg[:, 0], out_dbg[:, 1])
+    assert not np.allclose(out_dbg, out_normal)
+    # no rejit: same jitted objects, no new display compilation
+    assert e._step is step0 and e._display is disp0
+    assert e._display._cache_size() == n_display
+
+    e.update_settings(s.replace(view_accumulated=False))
+    out_back = np.asarray(e.render_frame())
+    np.testing.assert_allclose(out_back, out_normal, rtol=1e-6, atol=1e-7)
+
+
+def test_max_frames_change_no_recompile(box):
+    """max_frames / stop_at_max_frames are host-side early-out state
+    (hello_vulkan.cpp:1426-1430) — changing them never rejits."""
+    s = RenderSettings(rt_mode=1, depth=1, stop_at_max_frames=True,
+                       max_frames=1)
+    e = Engine(box, W, H, s)
+    e.render_frame()
+    e.render_frame()  # early-out hit
+    first = np.asarray(e.accum)
+    step0 = e._step
+    e.update_settings(e.settings.replace(max_frames=3))
+    assert e._step is step0
+    e.render_frame()
+    e.render_frame()
+    assert e.frame == 1  # reset by the settings change, then advanced
+    assert np.isfinite(np.asarray(e.accum)).all()
+    del first
+
+
 def test_resize_resets_and_renders(box):
     e = Engine(box, W, H, RenderSettings(rt_mode=1))
     e.render_frame()

@@ -10,10 +10,24 @@ Runtime settings mirror the ImGui panel + push constants:
 useShadows, useAO, useGI} (host_device.h:88-98) with defaults from
 ``initRayTracing`` (hello_vulkan.cpp:911-918: spp=1, depth=3, shadows on,
 AO on, GI off, rtMode=0 hybrid) and ``PushConstantPost`` {rtMode,
-viewAccumulated, useGI} (hello_vulkan.h:170-178). ``samples``/``depth``/the
-toggles are *static* under jit — changing them recompiles, which is the XLA
-equivalent of the reference rebuilding nothing (push constants) but is the
-right trade: the bounce loop specializes and fuses per setting.
+viewAccumulated, useGI} (hello_vulkan.h:170-178).
+
+Recompile surface (the reference changes everything per frame via push
+constants; here each knob is one of):
+
+* **traced — zero-recompile, like a push constant**: ``clear_color``,
+  ``frame``, camera matrices, ``view_accumulated`` (display-step
+  argument), and ``max_frames``/``stop_at_max_frames`` (host-side
+  early-out, never enters jit).
+* **static — changing recompiles**: ``samples``/``depth`` (the bounce
+  loop and the 2N-lane pools are unrolled and shape-specialized on
+  them), the ``use_*`` toggles (each removes whole pipeline stages —
+  dead-code elimination the reference's GPU pays branches for),
+  ``clamp_weights``/``corr_sampler`` (static Pallas shade-kernel
+  branches), ``backend``/``alpha_test`` (different tracer object). This
+  is the right XLA trade: the program specializes and fuses per setting,
+  and the compiled step is cached per combination (persistent cache
+  across processes, utils/jaxcache.py).
 """
 
 from __future__ import annotations

@@ -191,23 +191,28 @@ class Engine:
 
         # display path as ONE jitted dispatch (composite + tile->scanline):
         # unjitted it was 6-8 separate op dispatches per frame through the
-        # device link (the post.frag-equivalent full-screen pass)
+        # device link (the post.frag-equivalent full-screen pass).
+        # view_accumulated is a TRACED argument (read from settings at call
+        # time): the reference flips it per frame via push constant
+        # (main.cpp:90-96) with no pipeline rebuild, so toggling it here
+        # must reuse the compiled step, not rejit (it is deliberately NOT
+        # in update_settings' needs_rejit list).
         if s.rt_mode == 1:
-            def display(accum):
+            def display(accum, va):
                 out = post_mod.composite(
                     None,
                     jnp.concatenate(
                         [accum, jnp.ones_like(accum[:, :1])], axis=1
                     ),
-                    rt_mode=1, view_accumulated=s.view_accumulated,
+                    rt_mode=1, view_accumulated=va,
                     use_gi=s.use_gi,
                 )
                 return self._untile(out)
         else:
-            def display(raster_rgb, accum_rt):
+            def display(raster_rgb, accum_rt, va):
                 out = post_mod.composite(
                     raster_rgb, accum_rt, rt_mode=0,
-                    view_accumulated=s.view_accumulated, use_gi=s.use_gi,
+                    view_accumulated=va, use_gi=s.use_gi,
                 )
                 return self._untile(out)
 
@@ -317,7 +322,9 @@ class Engine:
                         cam, self.frame, self.accum, self.clear_color,
                     )
                 self._total_rays = self._total_rays + rays
-            return self._display(self.accum)
+            return self._display(
+                self.accum, jnp.asarray(s.view_accumulated)
+            )
         if not at_limit:
             with pass_label("hybrid"):  # (hello_vulkan.cpp:587/1459 labels)
                 self.gbuffer, self.accum_rt, rays, self.denoise_state = (
@@ -328,7 +335,10 @@ class Engine:
                     )
                 )
             self._total_rays = self._total_rays + rays
-        return self._display(self.gbuffer.color[:, :3], self.accum_rt)
+        return self._display(
+            self.gbuffer.color[:, :3], self.accum_rt,
+            jnp.asarray(s.view_accumulated),
+        )
 
     def render(self, frames: int = 1) -> np.ndarray:
         """Render ``frames`` progressive frames, return (H,W,3) uint8."""

@@ -11,15 +11,23 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def composite(raster_rgb, rt_rgba, *, rt_mode: int, view_accumulated: bool, use_gi: bool):
-    """(N,3)/(N,4) -> (N,3) linear before gamma (post.frag:41-56)."""
+def composite(raster_rgb, rt_rgba, *, rt_mode: int, view_accumulated, use_gi: bool):
+    """(N,3)/(N,4) -> (N,3) linear before gamma (post.frag:41-56).
+
+    ``view_accumulated`` may be a Python bool (static, one branch compiled)
+    or a traced bool scalar — the reference toggles it per frame via push
+    constant (host_device.h:88-98, main.cpp:90-96) with no pipeline rebuild,
+    so the engine passes it traced and reuses one compiled display step."""
     if rt_mode == 1:  # path tracer: accumulated image as-is
         return raster_rgb if rt_rgba is None else rt_rgba[:, :3]
-    if not view_accumulated:
-        return raster_rgb * rt_rgba[:, 3:4] + rt_rgba[:, :3]
+    normal = raster_rgb * rt_rgba[:, 3:4] + rt_rgba[:, :3]
     if use_gi:
-        return rt_rgba[:, :3] * rt_rgba[:, 3:4]
-    return jnp.broadcast_to(rt_rgba[:, 3:4], rt_rgba[:, :3].shape)
+        acc = rt_rgba[:, :3] * rt_rgba[:, 3:4]
+    else:
+        acc = jnp.broadcast_to(rt_rgba[:, 3:4], rt_rgba[:, :3].shape)
+    if isinstance(view_accumulated, bool):  # static call sites
+        return acc if view_accumulated else normal
+    return jnp.where(jnp.asarray(view_accumulated), acc, normal)
 
 
 def tonemap(rgb):
