@@ -117,7 +117,7 @@ def main(argv=None):
     p.add_argument("--width", type=int, default=1280)
     p.add_argument("--height", type=int, default=720)
     p.add_argument("--frames", type=int, default=8)
-    p.add_argument("--configs", type=str, default="1,2,3,4,5,6")
+    p.add_argument("--configs", type=str, default="1,2,3,4,5,6,7")
     args = p.parse_args(argv)
 
     from vkrt_tpu.utils.jaxcache import enable
@@ -174,9 +174,9 @@ def main(argv=None):
             "cornell_sharded_mesh", cornell, w, h, n, depth=3,
         ))
     if "7" in wanted:
-        # opt-in (not in the default config string): Sponza-SCALE stress —
-        # ~2.8x the config-3 triangle count, same estimator. Quantifies the
-        # visit-count scaling argument (STATUS roofline section).
+        # Sponza-SCALE stress (default row since round 4) — ~2.8x the
+        # config-3 triangle count, same estimator. Quantifies the
+        # visit-count scaling argument (docs/roofline.md).
         big = make_city(grid=160)
         print(f"[suite] big city scene: {big.num_tris} tris", file=sys.stderr)
         results.append(run_engine_bench(

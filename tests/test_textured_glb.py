@@ -191,6 +191,93 @@ def test_textured_render_golden(tmp_path):
     np.testing.assert_array_equal(imgs["path"], again)
 
 
+def test_jpeg_external_texture_sponza_layout(tmp_path):
+    """Sponza ships as .gltf + external .bin + external JPEG textures
+    (the reference loads them through stb_image, hello_vulkan.cpp:445-513).
+    Build that exact layout in-test: a .gltf JSON referencing a relative
+    ``textures/base.jpg`` URI, decode (PIL JPEG branch of
+    gltf._decode_image), and render through the CLI-equivalent path."""
+    import io
+
+    from PIL import Image
+
+    # a red/blue checker as JPEG (lossy: assert colors approximately)
+    n = 32
+    t = (np.arange(n)[:, None] // 8 + np.arange(n)[None, :] // 8) % 2
+    rgb = np.zeros((n, n, 3), np.uint8)
+    rgb[..., 0] = np.where(t, 210, 30)
+    rgb[..., 2] = np.where(t, 40, 200)
+    buf = io.BytesIO()
+    Image.fromarray(rgb).save(buf, format="JPEG", quality=92)
+    os.makedirs(os.path.join(str(tmp_path), "textures"))
+    jpg_rel = os.path.join("textures", "base.jpg")
+    with open(os.path.join(str(tmp_path), jpg_rel), "wb") as f:
+        f.write(buf.getvalue())
+
+    positions = np.array(
+        [[-2, -2, 0], [2, -2, 0], [2, 2, 0], [-2, 2, 0]], np.float32
+    )
+    uvs = np.array([[0, 1], [1, 1], [1, 0], [0, 0]], np.float32)
+    indices = np.array([0, 1, 2, 0, 2, 3], np.uint16)
+    bin_blob = positions.tobytes() + uvs.tobytes() + indices.tobytes()
+    with open(os.path.join(str(tmp_path), "scene.bin"), "wb") as f:
+        f.write(bin_blob)
+    doc = {
+        "asset": {"version": "2.0"},
+        "scene": 0,
+        "scenes": [{"nodes": [0]}],
+        "nodes": [{"mesh": 0}],
+        "meshes": [{"primitives": [{
+            "attributes": {"POSITION": 0, "TEXCOORD_0": 1},
+            "indices": 2, "material": 0,
+        }]}],
+        "accessors": [
+            {"bufferView": 0, "componentType": 5126, "count": 4,
+             "type": "VEC3", "min": [-2, -2, 0], "max": [2, 2, 0]},
+            {"bufferView": 1, "componentType": 5126, "count": 4,
+             "type": "VEC2"},
+            {"bufferView": 2, "componentType": 5123, "count": 6,
+             "type": "SCALAR"},
+        ],
+        "bufferViews": [
+            {"buffer": 0, "byteOffset": 0, "byteLength": positions.nbytes},
+            {"buffer": 0, "byteOffset": positions.nbytes,
+             "byteLength": uvs.nbytes},
+            {"buffer": 0, "byteOffset": positions.nbytes + uvs.nbytes,
+             "byteLength": indices.nbytes},
+        ],
+        "buffers": [{"uri": "scene.bin", "byteLength": len(bin_blob)}],
+        "images": [{"uri": jpg_rel.replace(os.sep, "/"), "name": "base"}],
+        "samplers": [{}],
+        "textures": [{"source": 0, "sampler": 0}],
+        "materials": [{"pbrMetallicRoughness": {
+            "baseColorTexture": {"index": 0},
+            "metallicFactor": 0.0, "roughnessFactor": 0.9,
+        }}],
+    }
+    gltf_path = os.path.join(str(tmp_path), "scene.gltf")
+    with open(gltf_path, "w") as f:
+        json.dump(doc, f)
+
+    parsed = parse_gltf(gltf_path)
+    assert parsed.images[0].data.shape == (n, n, 4)
+    # JPEG decoded (not the 1x1 white placeholder): both checker colors
+    # present, within lossy tolerance, alpha opaque
+    px = parsed.images[0].data.astype(np.int32)
+    assert abs(int(px[4, 4, 2]) - 200) < 30   # blue cell
+    assert abs(int(px[4, 12, 0]) - 210) < 30  # red cell
+    assert (px[..., 3] == 255).all()
+
+    scene = build_scene(parsed)
+    cam = Camera(eye=np.array([0, 0, 6.0]), center=np.zeros(3),
+                 up=np.array([0, 1, 0.0]))
+    e = Engine(scene, 48, 36, RenderSettings(rt_mode=0, use_gi=False), cam)
+    img = np.asarray(e.render(frames=1), np.float32)
+    assert np.isfinite(img).all()
+    center = img[10:26, 14:34]
+    assert center.std() > 10.0, "JPEG texture not visible in render"
+
+
 def test_normal_map_changes_shading(tmp_path):
     """With the ramp normal map, shading must differ from a flat-normal
     render of the same geometry (TBN path actually perturbs normals)."""
