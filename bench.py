@@ -88,10 +88,14 @@ def main():
     pix = jnp.take(pixel_coords(width, height), perm, axis=0)
     pid = jnp.asarray(perm).astype(jnp.uint32)
 
+    from vkrt_tpu.config import RenderSettings
+
+    corr = RenderSettings().corr_sampler  # default ON round 4 (VKRT_CORR=0 to A/B)
+
     def frame(cam, f, accum, clear):
         return pathtrace_frame(
             scene, tracer, cam, f, accum, clear,
-            width=width, height=height, samples=1, depth=3,
+            width=width, height=height, samples=1, depth=3, corr=corr,
             pix=pix, seeds=tea(pid, jnp.uint32(f)),
         )
 

@@ -77,9 +77,11 @@ def run_sharded_bench(name, scene, width, height, frames, depth):
     n_tile, n_spp = factor_mesh(jax.device_count())
     mesh = make_render_mesh(n_tile=n_tile, n_spp=n_spp)
     tracer = make_tracer(scene, "auto")
+    from vkrt_tpu.config import RenderSettings
+
     step, _inv = make_sharded_pathtrace_step(
         scene, tracer, mesh, width=width, height=height,
-        samples=n_spp, depth=depth,
+        samples=n_spp, depth=depth, corr=RenderSettings().corr_sampler,
     )
     cam = Camera().matrices(width, height)
     clear = jnp.asarray([1.0, 1.0, 1.0, 1.0], jnp.float32)

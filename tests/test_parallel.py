@@ -41,7 +41,10 @@ def test_tile_sharding_matches_single_device(box):
         clear_color=(1, 1, 1, 1),
     )
     # single-device reference (identical seeding when n_spp == 1)
-    e = Engine(box, W, H, RenderSettings(rt_mode=1, backend="bruteforce"))
+    # corr_sampler pinned off: these tests assert SHARDING equivalence
+    # under identical sampling; sharded corr regroups blocks (own tests below)
+    e = Engine(box, W, H, RenderSettings(rt_mode=1, backend="bruteforce",
+                                         corr_sampler=False))
     e.render_frame()
     e.render_frame()
     # engine buffers live in tile order; un-permute for comparison
@@ -69,7 +72,8 @@ def test_tile_and_spp_axes(box):
     # compare against unsharded 2-spp render: different RNG streams, same
     # estimator -> images agree in the mean
     e = Engine(box, W, H, RenderSettings(rt_mode=1, samples=2, depth=2,
-                                         backend="bruteforce"))
+                                         backend="bruteforce",
+                                         corr_sampler=False))
     e.render_frame()
     b = np.asarray(jnp.take(e.accum, e._inv_perm, axis=0))
     finite = np.isfinite(a) & np.isfinite(b) & (np.abs(b) < 50) & (np.abs(a) < 50)
@@ -114,7 +118,8 @@ def test_sharded_hybrid_matches_single_device(box):
     )
     gbuf, accum, rays = step(cam, 0, accum, jnp.ones(4, jnp.float32))
 
-    e = Engine(box, W, H, RenderSettings(rt_mode=0, use_gi=True))
+    e = Engine(box, W, H, RenderSettings(rt_mode=0, use_gi=True,
+                                         corr_sampler=False))
     e.render_frame()
     inv = e._inv_perm
     np.testing.assert_allclose(
@@ -323,6 +328,7 @@ def test_sharded_hybrid_denoised_matches_single_device(box):
 
     e = Engine(box, W, H, RenderSettings(
         rt_mode=0, use_gi=True, use_denoiser=True, temporal_denoiser=True,
+        corr_sampler=False,
     ))
     e.render_frame()
     e.render_frame()
@@ -331,3 +337,94 @@ def test_sharded_hybrid_denoised_matches_single_device(box):
         np.asarray(accum), np.asarray(jnp.take(e.accum_rt, inv, axis=0)),
         rtol=1e-4, atol=1e-5,
     )
+
+
+@needs_8dev
+def test_sharded_corr_mesh11_matches_engine(box):
+    """Correlated sampler under a (1,1) mesh: the corr salt mixes to zero
+    (tile 0, spp group 0) so the sharded corr stream reproduces the
+    single-device engine's corr render exactly — the same bit-exactness
+    contract the independent sampler has."""
+    tracer = make_tracer(box, "bruteforce")
+    cam = Camera().matrices(W, H)
+    mesh = make_render_mesh(n_tile=1, n_spp=1)
+    accum, rays = render_sharded(
+        box, tracer, cam, mesh,
+        width=W, height=H, samples=1, depth=3, frames=2,
+        clear_color=(1, 1, 1, 1), corr=True,
+    )
+    e = Engine(box, W, H, RenderSettings(rt_mode=1, backend="bruteforce",
+                                         corr_sampler=True))
+    e.render_frame()
+    e.render_frame()
+    np.testing.assert_allclose(
+        np.asarray(accum),
+        np.asarray(jnp.take(e.accum, e._inv_perm, axis=0)),
+        rtol=1e-5, atol=1e-6,
+    )
+
+
+@needs_8dev
+def test_sharded_corr_multishard_statistics(box):
+    """Correlated sampler over (4,2): block membership follows the local
+    pools, so the image is a DIFFERENT (equally unbiased) correlated
+    estimator than unsharded corr — assert validity + mean agreement, and
+    that the two spp groups were actually decorrelated (the salted tables
+    must not duplicate one group's draws into the other)."""
+    tracer = make_tracer(box, "bruteforce")
+    cam = Camera().matrices(W, H)
+    mesh = make_render_mesh(n_tile=4, n_spp=2)
+    accum, rays = render_sharded(
+        box, tracer, cam, mesh,
+        width=W, height=H, samples=2, depth=2, frames=2,
+        clear_color=(1, 1, 1, 1), corr=True,
+    )
+    a = np.asarray(accum)
+    assert np.isfinite(a).all() and a.max() > 0 and rays > 0
+    e = Engine(box, W, H, RenderSettings(rt_mode=1, samples=2, depth=2,
+                                         backend="bruteforce",
+                                         corr_sampler=True))
+    e.render_frame()
+    e.render_frame()
+    b = np.asarray(jnp.take(e.accum, e._inv_perm, axis=0))
+    finite = np.isfinite(a) & np.isfinite(b) & (np.abs(b) < 50) & (np.abs(a) < 50)
+    assert abs(a[finite].mean() - b[finite].mean()) < 0.3
+
+    # spp-group decorrelation: a 1-spp sharded render at group salt 0 vs the
+    # same frame re-rendered as group 1 of a 2-group mesh must differ (the
+    # group salt feeds the corr tables)
+    mesh1 = make_render_mesh(n_tile=4, n_spp=1)
+    acc1, _ = render_sharded(
+        box, tracer, cam, mesh1,
+        width=W, height=H, samples=1, depth=2, frames=1,
+        clear_color=(1, 1, 1, 1), corr=True,
+    )
+    assert not np.allclose(np.asarray(acc1), a, atol=1e-4)
+
+
+@needs_8dev
+def test_sharded_corr_hybrid_smoke(box):
+    """Hybrid + GI with corr under a (4,1) mesh: valid finite output in the
+    same exposure range as the corr-less sharded hybrid."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from vkrt_tpu.parallel.render import make_sharded_hybrid_step
+
+    tracer = make_tracer(box, "bruteforce")
+    cam = Camera().matrices(W, H)
+    mesh = make_render_mesh(n_tile=4, n_spp=1)
+    outs = {}
+    for corr in (False, True):
+        step = make_sharded_hybrid_step(
+            box, tracer, mesh, width=W, height=H, depth=2,
+            use_shadows=True, use_ao=True, use_gi=True, corr=corr,
+        )
+        accum = jax.device_put(
+            jnp.zeros((W * H, 4), jnp.float32),
+            NamedSharding(mesh, P("tile")),
+        )
+        _, accum, rays = step(cam, 0, accum, jnp.ones(4, jnp.float32))
+        outs[corr] = np.asarray(accum)
+        assert np.isfinite(outs[corr]).all() and float(rays) > 0
+    assert not np.allclose(outs[False], outs[True])
+    assert abs(outs[False].mean() - outs[True].mean()) < 0.1

@@ -48,12 +48,15 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--alpha-test", action="store_true",
                    help="enable alpha-tested transparency (the reference's "
                         "unwired any-hit shaders, finished; see ops/alpha.py)")
-    p.add_argument("--corr-sampler", action="store_true",
-                   default=os.environ.get("VKRT_CORR", "0") == "1",
+    p.add_argument("--corr-sampler",
+                   action=argparse.BooleanOptionalAction,
+                   default=os.environ.get("VKRT_CORR", "1") == "1",
                    help="correlated per-block sampler: share the lobe/"
                         "light/hemisphere draws across each 1024-ray "
                         "kernel block per frame (unbiased; coherent "
-                        "bounce/shadow pools)")
+                        "bounce/shadow pools). Default ON (measured 2-3.5x;"
+                        " --no-corr-sampler / VKRT_CORR=0 restores "
+                        "independent per-lane draws)")
     p.add_argument("--view-accumulated", action="store_true")
     p.add_argument("--clear-color", type=float, nargs=3, default=None)
     p.add_argument(
@@ -250,6 +253,7 @@ def run_sharded(args, scene, settings, cam_obj, clear, width, height) -> int:
             scene, tracer, cam, mesh, width=width, height=height,
             samples=settings.samples, depth=settings.depth,
             frames=args.frames, clear_color=clear,
+            corr=settings.corr_sampler,
         )
         out = post.composite(
             None,
@@ -271,7 +275,7 @@ def run_sharded(args, scene, settings, cam_obj, clear, width, height) -> int:
             scene, tracer, mesh, width=width, height=height,
             depth=settings.depth, use_shadows=settings.use_shadows,
             use_ao=settings.use_ao, use_gi=settings.use_gi,
-            use_denoiser=use_dn,
+            use_denoiser=use_dn, corr=settings.corr_sampler,
         )
         accum = jax.device_put(
             jnp.zeros((width * height, 4), jnp.float32),

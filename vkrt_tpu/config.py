@@ -74,8 +74,20 @@ class RenderSettings:
     # (draws stay marginally uniform and frame-independent); trades
     # per-frame intra-block noise independence for trace coherence — the
     # incoherent bounce-pool trace is the measured Sponza-class bound.
-    # Default off = reference-faithful independent draws.
-    corr_sampler: bool = os.environ.get("VKRT_CORR", "0") == "1"
+    # DEFAULT ON since round 4: measured 3.5x on Cornell d3 / 2.15x on the
+    # city d4 (benchmarks/scratch/corr_ab.py, interleaved on-device), with
+    # equal-budget convergence at or BETTER than independent draws (RMSE
+    # ratio 0.78 @8 frames, 0.98 @128; long-run bias below independent
+    # self-noise — benchmarks/scratch/corr_quality.py). The single-frame
+    # noise is block-structured (32x32-tile-shaped) instead of white;
+    # temporal accumulation averages it at the same 1/N rate. VKRT_CORR=0
+    # restores the reference's independent per-lane draws (raytrace.rgen's
+    # per-pixel LCG streams). Interaction: the SVGF-style spatial denoiser
+    # assumes white per-pixel noise — block-shaped noise is invisible to a
+    # spatial kernel smaller than the block, so under use_denoiser the
+    # temporal history does the averaging and the spatial pass adds less;
+    # quality-critical denoised runs can prefer --no-corr-sampler.
+    corr_sampler: bool = os.environ.get("VKRT_CORR", "1") == "1"
 
     def replace(self, **kw) -> "RenderSettings":
         return dataclasses.replace(self, **kw)

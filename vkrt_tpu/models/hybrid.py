@@ -44,6 +44,7 @@ def hybrid_effects(
     use_gi: bool,
     clamp_weights: bool = False,
     corr: bool = False,
+    corr_salt=None,
 ):
     """The raytraceHybrid.rgen main() body. Returns (color4, diff_rad_hitd,
     seed, rays).
@@ -51,7 +52,9 @@ def hybrid_effects(
     ``corr``: correlated per-block sampler (see RenderSettings.corr_sampler)
     — the shadow light pick, AO hemisphere draws, GI lobe direction and the
     GI bounce chain all share one draw per 1024-ray kernel block per frame,
-    for coherent visibility/bounce pools."""
+    for coherent visibility/bounce pools. ``corr_salt``: traced uint32
+    decorrelating the tables across SPMD shards (0/None = unsharded
+    stream)."""
     n = gbuf.color.shape[0]
     dt = gbuf.color.dtype
     n_lights = scene.num_lights
@@ -64,6 +67,8 @@ def hybrid_effects(
         corr_seed = (
             jnp.asarray(frame).astype(jnp.uint32) * jnp.uint32(0x9E3779B9)
         )
+        if corr_salt is not None:
+            corr_seed = corr_seed + jnp.asarray(corr_salt, jnp.uint32)
         # depth keys >= 64 are reserved for the pre-chain hybrid draws (the
         # GI chain itself uses keys 1..depth-1 inside bounce_chain)
         corr_tab = lambda key: corr_draws(n, corr_seed, key).astype(dt)  # noqa: E731
@@ -223,6 +228,7 @@ def hybrid_frame(
     use_denoiser: bool,
     clamp_weights: bool = False,
     corr: bool = False,
+    corr_salt=None,
     pix=None,
     seeds=None,
     perm=None,
@@ -251,7 +257,7 @@ def hybrid_frame(
     new_accum, diff_rad_hitd, _, rays = hybrid_effects(
         scene, tracer, gbuf, cam, seed, frame, accum_rt,
         depth=depth, use_shadows=use_shadows, use_ao=use_ao, use_gi=use_gi,
-        clamp_weights=clamp_weights, corr=corr,
+        clamp_weights=clamp_weights, corr=corr, corr_salt=corr_salt,
     )
     rays = rays + jnp.asarray(float(n), jnp.float32)  # primary G-buffer rays
     new_state = denoise_state

@@ -290,6 +290,7 @@ def trace_pixels(
     depth: int,
     clamp_weights: bool = False,
     corr: bool = False,
+    corr_salt=None,
     pix=None,
     seeds=None,
 ) -> PathTraceResult:
@@ -299,6 +300,9 @@ def trace_pixels(
     the SPMD entry used by vkrt_tpu.parallel to run this function on a tile
     of the frame per device. Defaults cover the whole frame.
     ``corr``: correlated per-block sampler (RenderSettings.corr_sampler).
+    ``corr_salt``: traced uint32 decorrelating the shared-draw tables across
+    SPMD shards / spp groups (same pixel sampled twice must not reuse one
+    block draw). Salt 0 (or None) reproduces the unsharded stream exactly.
     """
     n = width * height if pix is None else pix.shape[0]
     dt = scene.tri_v0.dtype
@@ -314,6 +318,8 @@ def trace_pixels(
                 jnp.asarray(frame).astype(jnp.uint32) * jnp.uint32(0x9E3779B9)
                 + jnp.asarray(s).astype(jnp.uint32) * jnp.uint32(0x6A09E667)
             )
+            if corr_salt is not None:
+                corr_seed = corr_seed + jnp.asarray(corr_salt, jnp.uint32)
         seed, r1 = rnd(seed)
         seed, r2 = rnd(seed)
         jitter = jnp.where(

@@ -25,7 +25,8 @@ from vkrt_tpu.utils.camera import pixel_coords, tile_perm
 
 
 def make_sharded_pathtrace_step(
-    scene, tracer, mesh: Mesh, *, width: int, height: int, samples: int, depth: int
+    scene, tracer, mesh: Mesh, *, width: int, height: int, samples: int,
+    depth: int, corr: bool = False,
 ):
     """Build the jitted sharded step. Returns ``(step, inv_perm)``:
     ``step(cam, frame, accum, clear) -> (accum', rays)`` with ``accum``
@@ -71,6 +72,19 @@ def make_sharded_pathtrace_step(
     def shard_body(cam, frame, accum_shard, clear_color, pix, pid):
         group = jax.lax.axis_index("spp").astype(jnp.uint32)
         seeds = tea(pid, jnp.uint32(frame) * jnp.uint32(n_spp) + group)
+        # corr: the shared-draw tables must differ per shard AND per spp
+        # group (a pixel sampled by two groups must not reuse one block
+        # draw), so salt the corr seed with both axis indices. A (1,1)
+        # mesh salts to 0 and reproduces the unsharded corr stream
+        # bit-for-bit; multi-shard corr is a different (equally unbiased)
+        # correlated estimator — block membership follows the local pool.
+        corr_salt = None
+        if corr:
+            tile_i = jax.lax.axis_index("tile").astype(jnp.uint32)
+            corr_salt = (
+                tile_i * jnp.uint32(0xC2B2AE35)
+                + group * jnp.uint32(0x27D4EB2F)
+            )
         res = trace_pixels(
             scene,  # replicated via closure capture
             tracer,
@@ -81,6 +95,8 @@ def make_sharded_pathtrace_step(
             clear_color,
             samples=local_samples,
             depth=depth,
+            corr=corr,
+            corr_salt=corr_salt,
             pix=pix,
             seeds=seeds,
         )
@@ -109,7 +125,7 @@ def make_sharded_hybrid_step(
     scene, tracer, mesh: Mesh, *,
     width: int, height: int, depth: int,
     use_shadows: bool = True, use_ao: bool = True, use_gi: bool = False,
-    use_denoiser: bool = False,
+    use_denoiser: bool = False, corr: bool = False,
 ):
     """Sharded hybrid frame: pixel tiles over the 'tile' axis (the hybrid
     pass has one sample stream, so the spp axis must be 1).
@@ -138,11 +154,18 @@ def make_sharded_hybrid_step(
 
     def shard_body(cam, frame, accum_shard, clear_color, dstate, pix, pid):
         seeds = tea(pid, jnp.uint32(frame))
+        corr_salt = None
+        if corr:  # see make_sharded_pathtrace_step (spp axis is 1 here)
+            corr_salt = (
+                jax.lax.axis_index("tile").astype(jnp.uint32)
+                * jnp.uint32(0xC2B2AE35)
+            )
         gbuf, new_accum, rays, new_state = hybrid_frame(
             scene, tracer, cam, frame, accum_shard, clear_color,
             width=width, height=height, depth=depth,
             use_shadows=use_shadows, use_ao=use_ao, use_gi=use_gi,
-            use_denoiser=use_denoiser, pix=pix, seeds=seeds,
+            use_denoiser=use_denoiser, corr=corr, corr_salt=corr_salt,
+            pix=pix, seeds=seeds,
             denoise_state=dstate,
             tile_axis="tile" if use_denoiser else None,
         )
@@ -191,12 +214,14 @@ def device_put_accum(mesh: Mesh, width: int, height: int):
 
 
 def render_sharded(
-    scene, tracer, cam, mesh, *, width, height, samples, depth, frames, clear_color
+    scene, tracer, cam, mesh, *, width, height, samples, depth, frames,
+    clear_color, corr=False,
 ):
     """Render ``frames`` progressive frames under the mesh; returns the
     accumulator in SCANLINE order (N,3)."""
     step, inv_perm = make_sharded_pathtrace_step(
-        scene, tracer, mesh, width=width, height=height, samples=samples, depth=depth
+        scene, tracer, mesh, width=width, height=height, samples=samples,
+        depth=depth, corr=corr,
     )
     accum = device_put_accum(mesh, width, height)
     rays_per_frame = []
