@@ -438,3 +438,38 @@ def test_ray_sort_keys_group_by_octant_and_cell(rng):
     d2 = jnp.asarray([[-1.0, 0.0, 0.1]])
     k2 = np.asarray(ray_sort_keys(o[:1], d2, lo, hi))
     assert k2[0] != k[0]  # octant differs
+
+
+def test_dyn_words_matches_default(rng):
+    """spec.dyn_words (dynamic fori over super words instead of the static
+    unroll — the program-size/compile-time lever for city-class scenes)
+    must be BIT-identical to the static scan: same words voted in the same
+    near-to-far order, state carried through out_ref either way."""
+    from vkrt_tpu.scene import load_cornell
+
+    scene = load_cornell()  # 16.7k tris -> 17 supers -> 2 words at C=64
+    pt_ref = make_pallas_tracer(scene, interpret=True)
+    pt_var = _variant_tracer(scene, dyn_words=True)
+    assert pt_var.spec.dyn_words
+    # the dynamic word loop must actually run >1 iteration
+    assert -(-pt_ref.cs.level_counts[-2] // 16) > 1
+    o, d = _rays(256, rng)
+    lim = jnp.asarray(rng.uniform(0.3, 8.0, size=(256,)), jnp.float32)
+    ref = pt_ref.closest(o, d, 1e-3, 1e4)
+    got = pt_var.closest(o, d, 1e-3, 1e4)
+    np.testing.assert_array_equal(np.asarray(got.hit), np.asarray(ref.hit))
+    np.testing.assert_array_equal(np.asarray(got.tri), np.asarray(ref.tri))
+    np.testing.assert_array_equal(np.asarray(got.t), np.asarray(ref.t))
+    np.testing.assert_array_equal(np.asarray(got.u), np.asarray(ref.u))
+    np.testing.assert_array_equal(
+        np.asarray(pt_var.any(o, d, 1e-3, lim)),
+        np.asarray(pt_ref.any(o, d, 1e-3, lim)),
+    )
+    # resolve path too (attr interpolation inside the dynamic loop)
+    if pt_ref.resolves_attrs and pt_var.resolves_attrs:
+        _, at_r = pt_ref.closest_surface(o, d, 1e-3, 1e4)
+        _, at_v = pt_var.closest_surface(o, d, 1e-3, 1e4)
+        np.testing.assert_array_equal(
+            np.asarray(at_v.nrm), np.asarray(at_r.nrm)
+        )
+        np.testing.assert_array_equal(np.asarray(at_v.uv), np.asarray(at_r.uv))

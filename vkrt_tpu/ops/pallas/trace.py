@@ -163,6 +163,18 @@ PURE_ANY = os.environ.get("VKRT_PURE_ANY", "0") == "1"
 # pattern). Env-gated pending an interleaved on-device A/B.
 DEFER_RESOLVE = os.environ.get("VKRT_DEFER_RESOLVE", "0") == "1"
 
+# Dynamic super-word scan: run the outer scan over super words as ONE
+# lax.fori_loop instead of a static unroll. The kernel body (16 slab votes +
+# cluster vote + cluster_work) is then emitted ONCE instead of n_words
+# times — on city-class scenes (14-37 words) the unroll dominates program
+# size and the tunnel compile (~500s first compile on the city hybrid,
+# STATUS r3 agenda item 4). The loop carries nothing (state lives in
+# out_ref/scratch, same as the set-bit loops), so the added per-word
+# dynamic-loop overhead is one scalar bound check per word — amortized over
+# a whole word's votes+visits, unlike the round-2 per-visit dynamic tree
+# that lost 65x. Parity-tested bit-exact against the static scan.
+DYN_WORDS = os.environ.get("VKRT_DYN_WORDS", "0") == "1"
+
 # Group gating (plain kernels): per visited cluster, one vector pass votes
 # every ROW's rays against the cluster's per-8-triangle-GROUP AABBs (the
 # same zero-sync lane-fold+scratch trick as ROW_GATE, one level finer), and
@@ -203,6 +215,7 @@ class TraceSpec:
     pure_any: bool = PURE_ANY       # pure any-hit row specialization
     defer_resolve: bool = DEFER_RESOLVE  # two-phase attribute resolve
     group_gate: bool = GROUP_GATE   # per-8-triangle-group vote gating
+    dyn_words: bool = DYN_WORDS     # dynamic (fori) super-word scan
     attr_vmem_budget: int = ATTR_VMEM_BUDGET
 
     def __post_init__(self):
@@ -1552,14 +1565,18 @@ def _trace_kernel(spec: TraceSpec, n_levels: int, t_min: float,
         base = oct * n_sup_pad
 
         def scan_supers():
-            # static scan over ordered super words; per voted super, map the
-            # ordered slot back to the true super id and vote its clusters
+            # scan over ordered super words; per voted super, map the
+            # ordered slot back to the true super id and vote its clusters.
+            # spec.dyn_words runs the word scan as ONE dynamic fori (the
+            # word body — and with it cluster_work — is emitted once, not
+            # n_words times; see DYN_WORDS), else a static unroll.
             aabb_clu = aabb_refs[L - 1]
             n_words = -(-true_super // FANOUT)
-            for w in range(n_words):
+
+            def word_body(w):
                 word = vote_word(sup_oct_aabb, base + w * FANOUT, False)
 
-                def super_body(sb, w=w):
+                def super_body(sb):
                     sid = sup_oct_id[base + w * FANOUT + sb, 0]
                     if clu_order is None:
                         cword = vote_children(aabb_clu, sid, ROW_GATE)
@@ -1595,6 +1612,15 @@ def _trace_kernel(spec: TraceSpec, n_levels: int, t_min: float,
                         _for_each_set_bit(cword, cbody)
 
                 _for_each_set_bit(word, super_body)
+
+            if spec.dyn_words and n_words > 1:
+                jax.lax.fori_loop(
+                    0, n_words,
+                    lambda w, c: (word_body(w), c)[1], jnp.int32(0),
+                )
+            else:
+                for w in range(n_words):
+                    word_body(w)
 
         if top_word is None:
             scan_supers()
