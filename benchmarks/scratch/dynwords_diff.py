@@ -46,3 +46,46 @@ if t_diff.any():
     print(f"t rel delta: max {rel.max():.3e} median {np.median(rel):.3e}")
     same_tri = (a.tri[t_diff] == b.tri[t_diff]).mean()
     print(f"of t-mismatched lanes, same winner tri: {same_tri:.4f}")
+
+
+def packed_compare(scene, n=921_600):
+    """Raw packed-output comparison at pool size (the dynwords_ab check)."""
+    import dataclasses as dc
+    import jax.numpy as jnp
+
+    rng2 = np.random.default_rng(7)
+    o2 = np.stack([
+        rng2.uniform(-40, 40, n), rng2.uniform(0.5, 6.0, n),
+        rng2.uniform(-40, 40, n)
+    ], axis=1).astype(np.float32)
+    d2 = rng2.normal(size=(n, 3)).astype(np.float32)
+    d2 /= np.linalg.norm(d2, axis=1, keepdims=True)
+    base2 = spec_for_scene(scene.num_tris)
+    outs2 = {}
+    for nm, dyn in (("static", False), ("dyn", True)):
+        tr = make_pallas_tracer(scene, spec=dc.replace(base2, dyn_words=dyn))
+        packed, nn, _ = _pack_rays(
+            jnp.asarray(o2), jnp.asarray(d2),
+            jnp.full((n,), 1e4, jnp.float32), tr.spec.prog_rows)
+        outs2[nm] = np.asarray(tr.closest_packed_plain(packed, 1e-3))
+    a2, b2 = outs2["static"], outs2["dyn"]
+    print(f"packed equal: {np.array_equal(a2, b2)}")
+    if not np.array_equal(a2, b2):
+        for c, nm in enumerate(("t", "idx", "u", "v")):
+            col_a = a2[:, c * LANES:(c + 1) * LANES]
+            col_b = b2[:, c * LANES:(c + 1) * LANES]
+            neq = col_a != col_b
+            print(f"  col {nm}: {neq.sum()} mismatched elems "
+                  f"({neq.any(axis=1).sum()} rows)")
+        neq_t = a2[:, :LANES] != b2[:, :LANES]
+        if neq_t.any():
+            ia = a2[:, LANES:2*LANES].view(np.int32)[neq_t]
+            ib = b2[:, LANES:2*LANES].view(np.int32)[neq_t]
+            ta, tb = a2[:, :LANES][neq_t], b2[:, :LANES][neq_t]
+            rel = np.abs(ta - tb) / np.maximum(np.abs(ta), 1e-20)
+            print(f"  t rel delta max {rel.max():.3e}, winners equal: "
+                  f"{(ia == ib).mean():.4f}")
+
+
+if len(sys.argv) > 2 and sys.argv[2] == "packed":
+    packed_compare(scene)
