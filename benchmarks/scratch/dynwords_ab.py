@@ -69,9 +69,14 @@ for name, ts in times.items():
     print(f"{name}: {min(ms):.1f} min / {np.median(ms):.1f} med ms "
           f"({[f'{m:.0f}' for m in ms]})", file=sys.stderr, flush=True)
 
-# verdict parity on device
+# verdict parity on device. Compare BIT PATTERNS (uint32 view), not floats:
+# the idx column stores int32 bitcast to f32, and miss lanes hold -1 =
+# 0xFFFFFFFF = NaN — np.array_equal on f32 reports bit-identical NaNs as
+# unequal (the phantom "inequality" that kept dyn_words off for a while).
 a = np.asarray(variants["static"][0].closest_packed_plain(
     variants["static"][1], 1e-3))
 b = np.asarray(variants["dyn"][0].closest_packed_plain(
     variants["dyn"][1], 1e-3))
-print(f"bit-equal on device: {np.array_equal(a, b)}", file=sys.stderr)
+print(f"bit-equal on device: "
+      f"{np.array_equal(a.view(np.uint32), b.view(np.uint32))}",
+      file=sys.stderr)

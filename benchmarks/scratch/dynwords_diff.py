@@ -69,11 +69,18 @@ def packed_compare(scene, n=921_600):
             jnp.full((n,), 1e4, jnp.float32), tr.spec.prog_rows)
         outs2[nm] = np.asarray(tr.closest_packed_plain(packed, 1e-3))
     a2, b2 = outs2["static"], outs2["dyn"]
-    print(f"packed equal: {np.array_equal(a2, b2)}")
-    if not np.array_equal(a2, b2):
+    # bit-pattern comparison: the idx column is int32 bitcast to f32, and
+    # miss-lane idx = -1 = 0xFFFFFFFF = NaN, which float equality reports
+    # as unequal even when bit-identical (this phantom was the one
+    # "inequality" dynwords_ab ever saw)
+    bit_equal = np.array_equal(a2.view(np.uint32), b2.view(np.uint32))
+    print(f"packed bit-equal: {bit_equal} "
+          f"(float-equal: {np.array_equal(a2, b2)} — False here just means "
+          f"NaN-pattern idx lanes)")
+    if not bit_equal:
         for c, nm in enumerate(("t", "idx", "u", "v")):
-            col_a = a2[:, c * LANES:(c + 1) * LANES]
-            col_b = b2[:, c * LANES:(c + 1) * LANES]
+            col_a = a2[:, c * LANES:(c + 1) * LANES].view(np.uint32)
+            col_b = b2[:, c * LANES:(c + 1) * LANES].view(np.uint32)
             neq = col_a != col_b
             print(f"  col {nm}: {neq.sum()} mismatched elems "
                   f"({neq.any(axis=1).sum()} rows)")
@@ -85,6 +92,29 @@ def packed_compare(scene, n=921_600):
             rel = np.abs(ta - tb) / np.maximum(np.abs(ta), 1e-20)
             print(f"  t rel delta max {rel.max():.3e}, winners equal: "
                   f"{(ia == ib).mean():.4f}")
+        # classify idx-only mismatches: are they all on MISS lanes (t at the
+        # 1e4 limit => idx is dead payload the verdict APIs never read)?
+        neq_i = (a2[:, LANES:2*LANES].view(np.int32)
+                 != b2[:, LANES:2*LANES].view(np.int32))
+        if neq_i.any():
+            t_at = a2[:, :LANES][neq_i]
+            print(f"  idx mismatches on miss lanes (t>=1e4): "
+                  f"{(t_at >= 1e4).sum()}/{neq_i.sum()}")
+            ia = a2[:, LANES:2*LANES].view(np.int32)[neq_i]
+            ib = b2[:, LANES:2*LANES].view(np.int32)[neq_i]
+            print(f"  static idx range [{ia.min()},{ia.max()}] "
+                  f"dyn idx range [{ib.min()},{ib.max()}]")
+            print(f"  static idx<0: {(ia < 0).mean():.3f}  "
+                  f"dyn idx<0: {(ib < 0).mean():.3f}")
+            hit_neq = neq_i & (a2[:, :LANES] < 1e4)
+            if hit_neq.any():
+                # real winner disagreement on a HIT lane: dump a few
+                rows, lanes = np.nonzero(hit_neq)
+                for r, l in list(zip(rows, lanes))[:5]:
+                    print(f"    HIT-lane diff row {r} lane {l}: "
+                          f"t {a2[r, l]:.6g}/{b2[r, l]:.6g} idx "
+                          f"{a2[r, LANES+l:LANES+l+1].view(np.int32)[0]}/"
+                          f"{b2[r, LANES+l:LANES+l+1].view(np.int32)[0]}")
 
 
 if len(sys.argv) > 2 and sys.argv[2] == "packed":

@@ -46,7 +46,7 @@ def main():
         else:
             os.environ["VKRT_TEX_BF16"] = saved
     if mode_path:
-        s = RenderSettings(rt_mode=1, max_depth=4)
+        s = RenderSettings(rt_mode=1, depth=4)
     else:
         s = RenderSettings(rt_mode=0, use_shadows=True, use_ao=True, use_gi=True)
     cam = orbit_camera(0.12, radius=300, height=48)

@@ -166,12 +166,16 @@ def test_cluster_specs_coexist_in_process(box, rng):
 
 def test_spec_for_scene_heuristic():
     """Big scenes pack at CLUSTER=128 (measured: +1.7% e2e and 1.5x faster
-    compiles on the 143k-tri city), small scenes keep 64 (128 measured a
-    17% loss on Cornell); an explicit VKRT_CLUSTER env pin wins."""
+    compiles on the 143k-tri city) and scan super words dynamically
+    (224k-tri first compile 89.9s static vs 11.6s dyn, steady state
+    identical, bit-exact); small scenes keep 64 + the static unroll (2-3
+    words). Explicit VKRT_CLUSTER / VKRT_DYN_WORDS env pins win."""
     from vkrt_tpu.ops.pallas.trace import spec_for_scene
 
     assert spec_for_scene(16_000).cluster == 64
+    assert not spec_for_scene(16_000).dyn_words
     assert spec_for_scene(150_000).cluster == 128
+    assert spec_for_scene(150_000).dyn_words
 
 
 def test_group_gate_matches_default(box, rng):

@@ -82,6 +82,9 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--out", default="out.png")
     p.add_argument("--procedural", choices=["cornell", "city"], default=None,
                    help="use a procedural scene instead of a file")
+    p.add_argument("--city-grid", type=int, default=None, metavar="N",
+                   help="procedural city size (benchmark suite uses 96 = "
+                        "143k tris, 160 = 399k Sponza-scale; default small)")
     p.add_argument("--save-state", default=None,
                    help="checkpoint accumulation state to this .npz on exit")
     p.add_argument("--load-state", default=None,
@@ -128,7 +131,8 @@ def main(argv=None) -> int:
     if args.procedural == "cornell":
         scene = scene_mod.make_cornell_box()
     elif args.procedural == "city":
-        scene = scene_mod.make_city()
+        scene = (scene_mod.make_city(grid=args.city_grid)
+                 if args.city_grid else scene_mod.make_city())
     elif args.scene:
         scene = scene_mod.load_scene(args.scene)
     else:

@@ -172,7 +172,14 @@ DEFER_RESOLVE = os.environ.get("VKRT_DEFER_RESOLVE", "0") == "1"
 # out_ref/scratch, same as the set-bit loops), so the added per-word
 # dynamic-loop overhead is one scalar bound check per word — amortized over
 # a whole word's votes+visits, unlike the round-2 per-visit dynamic tree
-# that lost 65x. Parity-tested bit-exact against the static scan.
+# that lost 65x. Parity-tested bit-exact against the static scan (interpret
+# AND device — the one "inequality" ever seen was a NaN-blind harness bug:
+# miss-lane idx = -1 bitcast to f32 is a NaN, and np.array_equal on the
+# packed f32 block reports bit-identical NaNs as unequal; uint32-view
+# comparison shows zero mismatches). Default ON for big scenes via
+# spec_for_scene (measured: 224k-tri city first compile 89.9s static vs
+# 11.6s dyn, steady state identical at 605 ms); this env knob pins a
+# process-wide override for sweeps.
 DYN_WORDS = os.environ.get("VKRT_DYN_WORDS", "0") == "1"
 
 # Group gating (plain kernels): per visited cluster, one vector pass votes
@@ -263,13 +270,17 @@ BIG_SCENE_TRIS = 100_000
 
 def spec_for_scene(n_tris: int) -> TraceSpec:
     """Per-scene kernel spec (VERDICT r3 item 2): big scenes take
-    CLUSTER=128, small scenes keep 64. An explicit VKRT_CLUSTER env pin
-    wins over the heuristic (sweep harnesses rely on it)."""
-    if "VKRT_CLUSTER" in os.environ:
-        return DEFAULT_SPEC
-    if n_tris >= BIG_SCENE_TRIS:
-        return dataclasses.replace(DEFAULT_SPEC, cluster=128)
-    return DEFAULT_SPEC
+    CLUSTER=128 and the dynamic super-word scan (their static unrolls are
+    what made city-class first compiles cost minutes; steady state measured
+    identical — see DYN_WORDS), small scenes keep 64 + static unroll (2-3
+    words; nothing to save). Explicit VKRT_CLUSTER / VKRT_DYN_WORDS env
+    pins win over the heuristic (sweep harnesses rely on it)."""
+    spec = DEFAULT_SPEC
+    if "VKRT_CLUSTER" not in os.environ and n_tris >= BIG_SCENE_TRIS:
+        spec = dataclasses.replace(spec, cluster=128)
+    if "VKRT_DYN_WORDS" not in os.environ and n_tris >= BIG_SCENE_TRIS:
+        spec = dataclasses.replace(spec, dyn_words=True)
+    return spec
 
 
 class ClusterScene(NamedTuple):
