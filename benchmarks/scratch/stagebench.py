@@ -109,7 +109,7 @@ def main():
             surf = surface_from_attrs(scene, at)
             bs = sample_bsdf(scene, surf, direction, seeds,
                              jnp.ones((n,), bool))
-            return bs.weight + bs.emit_plus_nee
+            return jnp.sum(bs.weight) + jnp.sum(bs.emit_plus_nee)
 
         print(f"shade (resolve+bsdf)  : {timeit(shade_resolve):8.1f} ms")
 
@@ -129,6 +129,7 @@ def main():
             lambda d=depth: jnp.sum(pathtrace_frame(
                 scene, pt, cam, 1, accum, clear, width=w, height=h,
                 samples=1, depth=d, pix=pix, seeds=seeds,
+                corr=True,  # production default (RenderSettings.corr_sampler)
             )[0])
         )
         ms = timeit(f, iters=4)

@@ -187,6 +187,28 @@ def test_view_accumulated_toggle_no_recompile(box):
     np.testing.assert_allclose(out_back, out_normal, rtol=1e-6, atol=1e-7)
 
 
+def test_clamp_weights_toggle_no_recompile(box):
+    """clamp_weights rides as traced (2,) [lo, hi] bounds (clamp off =
+    [-inf, +inf] = bit-exact identity): toggling it must reuse the SAME
+    compiled step (zero-recompile, like the reference's push-constant
+    updates) and produce exactly what a statically-clamped engine does."""
+    s = RenderSettings(rt_mode=1, depth=3)
+    e = Engine(box, W, H, s)
+    np.asarray(e.render_frame())
+    step0 = e._step
+    n_step = e._step._cache_size()
+
+    e.update_settings(s.replace(clamp_weights=True))
+    out_on = np.asarray(e.render_frame())
+    # no rejit: same jitted step object, no new compilation cache entry
+    assert e._step is step0
+    assert e._step._cache_size() == n_step
+
+    # the traced-bounds clamp equals an engine BUILT with clamp on
+    e2 = Engine(box, W, H, s.replace(clamp_weights=True))
+    np.testing.assert_array_equal(out_on, np.asarray(e2.render_frame()))
+
+
 def test_max_frames_change_no_recompile(box):
     """max_frames / stop_at_max_frames are host-side early-out state
     (hello_vulkan.cpp:1426-1430) — changing them never rejits."""

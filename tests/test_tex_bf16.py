@@ -53,7 +53,7 @@ def test_bf16_atlas_dtype_and_sample_parity(monkeypatch):
     from vkrt_tpu.ops.texture import sample_texture, sample_texture_lod
 
     doc = _textured_doc()
-    monkeypatch.delenv("VKRT_TEX_BF16", raising=False)
+    monkeypatch.setenv("VKRT_TEX_BF16", "0")  # f32 leg (bf16 is the default)
     s32 = build_scene(doc)
     monkeypatch.setenv("VKRT_TEX_BF16", "1")
     s16 = build_scene(doc)
@@ -90,7 +90,7 @@ def test_bf16_atlas_render_parity(monkeypatch):
     from vkrt_tpu.utils.camera import Camera
 
     doc = _textured_doc()
-    monkeypatch.delenv("VKRT_TEX_BF16", raising=False)
+    monkeypatch.setenv("VKRT_TEX_BF16", "0")  # f32 leg (bf16 is the default)
     s32 = build_scene(doc)
     monkeypatch.setenv("VKRT_TEX_BF16", "1")
     s16 = build_scene(doc)

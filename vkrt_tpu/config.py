@@ -17,14 +17,15 @@ constants; here each knob is one of):
 
 * **traced — zero-recompile, like a push constant**: ``clear_color``,
   ``frame``, camera matrices, ``view_accumulated`` (display-step
-  argument), and ``max_frames``/``stop_at_max_frames`` (host-side
-  early-out, never enters jit).
+  argument), ``clamp_weights`` (traced [lo, hi] bounds — see
+  models.shading.clamp_bounds), and ``max_frames``/
+  ``stop_at_max_frames`` (host-side early-out, never enters jit).
 * **static — changing recompiles**: ``samples``/``depth`` (the bounce
   loop and the 2N-lane pools are unrolled and shape-specialized on
   them), the ``use_*`` toggles (each removes whole pipeline stages —
   dead-code elimination the reference's GPU pays branches for),
-  ``clamp_weights``/``corr_sampler`` (static Pallas shade-kernel
-  branches), ``backend``/``alpha_test`` (different tracer object). This
+  ``corr_sampler`` (static Pallas shade-kernel branch),
+  ``backend``/``alpha_test`` (different tracer object). This
   is the right XLA trade: the program specializes and fuses per setting,
   and the compiled step is cached per combination (persistent cache
   across processes, utils/jaxcache.py).

@@ -158,8 +158,14 @@ class Engine:
             return tracer_with_arrays(proto, tr_arrs) if self._pose_stable \
                 else self.tracer
 
+        # clamp_weights rides as TRACED (2,) [lo, hi] bounds (clamp_lohi —
+        # models.shading.clamp_bounds): toggling the setting reuses the
+        # compiled step, like the reference's per-frame push-constant
+        # updates (main.cpp:67-105); it is NOT in update_settings'
+        # needs_rejit list.
         if s.rt_mode == 1:
-            def path_step(scene, tr_arrs, cam, frame, accum, clear_color):
+            def path_step(scene, tr_arrs, cam, frame, accum, clear_color,
+                          clamp_lohi):
                 # per-pixel seeds by ORIGINAL pixel id: radiance per pixel is
                 # bit-identical to scanline order (layout is a pure permute)
                 seeds = tea(pid, jnp.uint32(frame))
@@ -167,21 +173,21 @@ class Engine:
                     sc(scene), tr(tr_arrs), cam, frame, accum, clear_color,
                     width=self.width, height=self.height,
                     samples=s.samples, depth=s.depth,
-                    clamp_weights=s.clamp_weights, corr=s.corr_sampler,
+                    clamp_weights=clamp_lohi, corr=s.corr_sampler,
                     pix=pix, seeds=seeds,
                 )
 
             self._step = jax.jit(path_step)
         else:
             def hybrid_step(scene, tr_arrs, cam, frame, accum_rt, clear_color,
-                            denoise_state):
+                            denoise_state, clamp_lohi):
                 seeds = tea(pid, jnp.uint32(frame))
                 return hybrid_frame(
                     sc(scene), tr(tr_arrs), cam, frame, accum_rt, clear_color,
                     width=self.width, height=self.height, depth=s.depth,
                     use_shadows=s.use_shadows, use_ao=s.use_ao,
                     use_gi=s.use_gi, use_denoiser=s.use_denoiser,
-                    clamp_weights=s.clamp_weights, corr=s.corr_sampler,
+                    clamp_weights=clamp_lohi, corr=s.corr_sampler,
                     pix=pix, seeds=seeds,
                     perm=self._perm, inv_perm=self._inv_perm,
                     denoise_state=denoise_state,
@@ -227,6 +233,12 @@ class Engine:
             tracer_arrays(self.tracer) if self._pose_stable else None,
         )
 
+    def _clamp_lohi(self):
+        """Traced path-throughput clamp bounds from the current settings."""
+        from vkrt_tpu.models.shading import clamp_bounds
+
+        return clamp_bounds(bool(self.settings.clamp_weights))
+
     def reset_frame(self):
         """hello_vulkan.cpp:1501-1504."""
         self.frame = -1
@@ -249,7 +261,8 @@ class Engine:
                 or settings.use_gi != self.settings.use_gi
                 or settings.use_denoiser != self.settings.use_denoiser
                 or settings.temporal_denoiser != self.settings.temporal_denoiser
-                or settings.clamp_weights != self.settings.clamp_weights
+                # clamp_weights deliberately absent: traced bounds, not a
+                # static branch (see _build_jits)
                 or settings.backend != self.settings.backend
                 or settings.alpha_test != self.settings.alpha_test
                 or settings.corr_sampler != self.settings.corr_sampler
@@ -320,6 +333,7 @@ class Engine:
                     self.accum, rays = self._step(
                         *self._step_args(),
                         cam, self.frame, self.accum, self.clear_color,
+                        self._clamp_lohi(),
                     )
                 self._total_rays = self._total_rays + rays
             return self._display(
@@ -331,7 +345,7 @@ class Engine:
                     self._step(
                         *self._step_args(),
                         cam, self.frame, self.accum_rt, self.clear_color,
-                        self.denoise_state,
+                        self.denoise_state, self._clamp_lohi(),
                     )
                 )
             self._total_rays = self._total_rays + rays

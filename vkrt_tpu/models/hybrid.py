@@ -42,7 +42,7 @@ def hybrid_effects(
     use_shadows: bool,
     use_ao: bool,
     use_gi: bool,
-    clamp_weights: bool = False,
+    clamp_weights=False,
     corr: bool = False,
     corr_salt=None,
 ):
@@ -226,7 +226,7 @@ def hybrid_frame(
     use_ao: bool,
     use_gi: bool,
     use_denoiser: bool,
-    clamp_weights: bool = False,
+    clamp_weights=False,
     corr: bool = False,
     corr_salt=None,
     pix=None,

@@ -30,6 +30,7 @@ import jax
 import jax.numpy as jnp
 
 from vkrt_tpu.models.shading import (
+    clamp_bounds,
     sample_bsdf,
     surface_at_hit,
     surface_from_attrs,
@@ -63,15 +64,17 @@ def bounce_chain(
     clear_color,
     hitdist_weight: float,
     hitdist_accumulate: bool,
-    clamp_weights: bool = False,
+    clamp_weights=False,
     corr_seed=None,
 ) -> BounceCarry:
     """Run the shared bounce loop (rgen:62-116 / raytraceHybrid.rgen:211-266).
 
     ``hitdist_accumulate``: path mode does ``hitDists += w*...`` (rgen:107),
     hybrid GI overwrites ``hitDists = ...`` (hybrid rgen:257).
-    ``clamp_weights``: opt-in extension bounding the path throughput (see
-    RenderSettings.clamp_weights).
+    ``clamp_weights``: opt-in extension bounding the path throughput — a
+    Python bool or traced (2,) [lo, hi] bounds (see
+    models.shading.clamp_bounds; the engine passes traced bounds so the
+    toggle is zero-recompile).
     ``corr_seed``: traced uint32 scalar enabling the correlated per-block
     sampler (ops.rng.corr_draws) — None keeps independent per-lane draws.
 
@@ -83,6 +86,7 @@ def bounce_chain(
     """
     if depth <= start_depth:
         return carry
+    cl_lohi = clamp_bounds(clamp_weights)
     clear3 = jnp.asarray(clear_color, carry.origin.dtype)[:3]
     n = carry.origin.shape[0]
     dt = carry.origin.dtype
@@ -215,8 +219,11 @@ def bounce_chain(
             hit_dists = jnp.where(at_d1, hd_new, c.hit_dists)
 
         step_weight = bs.weight
-        if clamp_weights:
-            step_weight = jnp.clip(step_weight, 0.0, 50.0)
+        # traced clamp bounds ([-inf,+inf] = bit-exact identity when off;
+        # see models.shading.clamp_bounds) — toggling never recompiles
+        step_weight = jnp.minimum(
+            jnp.maximum(step_weight, cl_lohi[0]), cl_lohi[1]
+        )
         cur_weight = c.cur_weight * jnp.where(miss[:, None], 1.0, step_weight)
         # (curWeight *= prd.weight also runs on miss lanes in the GLSL, but
         # those lanes exit the loop and never contribute — skipping the stale
@@ -288,7 +295,7 @@ def trace_pixels(
     *,
     samples: int,
     depth: int,
-    clamp_weights: bool = False,
+    clamp_weights=False,
     corr: bool = False,
     corr_salt=None,
     pix=None,
@@ -399,7 +406,7 @@ def pathtrace_frame(
     height: int,
     samples: int,
     depth: int,
-    clamp_weights: bool = False,
+    clamp_weights=False,
     corr: bool = False,
     pix=None,
     seeds=None,

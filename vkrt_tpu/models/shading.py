@@ -30,6 +30,25 @@ from vkrt_tpu.ops.texture import sample_texture
 from vkrt_tpu.utils.smath import cross, dot, length, normalize, reflect
 
 
+def clamp_bounds(clamp_weights):
+    """Normalize RenderSettings.clamp_weights into traced (2,) f32 [lo, hi]
+    path-throughput clamp bounds.
+
+    The clamp is always EMITTED (two elementwise min/max per weight
+    component) with the bounds as traced data: [0, 50] when on,
+    [-inf, +inf] when off — a bit-exact identity (max(x,-inf)=x,
+    min(x,+inf)=x, NaN propagates unchanged). This makes the toggle a
+    zero-recompile "push constant" like the reference's per-frame UI
+    updates (main.cpp:67-105) instead of a static program branch.
+    Accepts a Python bool (direct callers/tests) or an already-traced
+    (2,) array (the engine's jitted step argument)."""
+    if isinstance(clamp_weights, (bool, int)):
+        if clamp_weights:
+            return jnp.asarray([0.0, 50.0], jnp.float32)
+        return jnp.asarray([-jnp.inf, jnp.inf], jnp.float32)
+    return jnp.asarray(clamp_weights, jnp.float32)
+
+
 class SurfaceSample(NamedTuple):
     """Everything the rchit stage writes back through the payload + what the
     G-buffer pass needs (raycommon.glsl:8-19, frag_shader.frag:122-149)."""

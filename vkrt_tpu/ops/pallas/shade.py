@@ -165,7 +165,6 @@ def _shade_kernel(
     n_lights: int,
     hitdist_weight: float,
     hitdist_accumulate: bool,
-    clamp_weights: bool,
     t_min: float,
     t_max: float,
     corr: bool = False,
@@ -469,10 +468,15 @@ def _shade_kernel(
     np_g = jnp.where(active, jnp.minimum(hv_this_g * cwg, 10.0), 0.0)
     np_b = jnp.where(active, jnp.minimum(hv_this_b * cwb, 10.0), 0.0)
 
-    if clamp_weights:
-        bwr = jnp.clip(bwr, 0.0, 50.0)
-        bwg = jnp.clip(bwg, 0.0, 50.0)
-        bwb = jnp.clip(bwb, 0.0, 50.0)
+    # path-throughput clamp (RenderSettings.clamp_weights) with TRACED
+    # bounds from params[0,3:5]: [0,50] on, [-inf,+inf] off (bit-exact
+    # identity — max(x,-inf)=x, min(x,+inf)=x, NaN propagates), so toggling
+    # the setting reuses the compiled step like a push constant
+    cl_lo = params[0, 3]
+    cl_hi = params[0, 4]
+    bwr = jnp.minimum(jnp.maximum(bwr, cl_lo), cl_hi)
+    bwg = jnp.minimum(jnp.maximum(bwg, cl_lo), cl_hi)
+    bwb = jnp.minimum(jnp.maximum(bwb, cl_lo), cl_hi)
     cwr = cwr * jnp.where(miss, 1.0, bwr)
     cwg = cwg * jnp.where(miss, 1.0, bwg)
     cwb = cwb * jnp.where(miss, 1.0, bwb)
@@ -523,12 +527,14 @@ def shade_call(
     mat_tab, light_tab, params, carry, ray_main, trace_out, *,
     d: int, first: bool, resolve_hd: bool, n_mats: int, n_lights: int,
     hitdist_weight: float, hitdist_accumulate: bool,
-    clamp_weights: bool, t_min: float, t_max: float, interpret: bool,
+    t_min: float, t_max: float, interpret: bool,
     trace_out_shadow=None, corr: bool = False,
 ):
     """One shade step over packed blocks.
 
-    ``params``: (1, 8) f32 dynamic scalars [clear rgb | unused]; with
+    ``params``: (1, 8) f32 dynamic scalars [clear rgb | clamp lo | clamp hi
+    | unused] (clamp bounds per models.shading.clamp_bounds — traced, so
+    the clamp toggle never recompiles); with
     ``corr`` it is (1 + R//PROG_ROWS, 8) — row 1+i holds block i's shared
     sampling uniforms (ops.rng.block_uniform_table).
     ``carry``: (R, CARRY_COLS*128). ``ray_main``: the (R, 7*128) ray block
@@ -563,7 +569,7 @@ def shade_call(
         d=d, first=first, resolve_hd=resolve_hd, n_mats=n_mats,
         n_lights=n_lights,
         hitdist_weight=hitdist_weight, hitdist_accumulate=hitdist_accumulate,
-        clamp_weights=clamp_weights, t_min=t_min, t_max=t_max, corr=corr,
+        t_min=t_min, t_max=t_max, corr=corr,
     )
     carry2, next_rays, shadow_rays = pl.pallas_call(
         kernel,
@@ -608,7 +614,7 @@ def unpack_lane(blockarr, k: int, n: int):
 def bounce_chain_packed(
     scene, tracer, carry, *,
     depth: int, start_depth: int, clear_color,
-    hitdist_weight: float, hitdist_accumulate: bool, clamp_weights: bool,
+    hitdist_weight: float, hitdist_accumulate: bool, clamp_weights,
     t_min: float, t_max: float, corr_seed=None,
 ):
     """The bounce loop with ZERO (N,3) XLA math inside: trace and shade both
@@ -618,10 +624,16 @@ def bounce_chain_packed(
     (seed / hit_value / hit_dists / rays counters; the geometric fields keep
     their entry values, which no caller reads after the loop).
     """
+    from vkrt_tpu.models.shading import clamp_bounds
+
     n = carry.origin.shape[0]
     mat_tab, light_tab = scene_tables(scene)
     clear3 = jnp.asarray(clear_color, jnp.float32)[:3]
-    params = jnp.zeros((1, 8), jnp.float32).at[0, :3].set(clear3)
+    params = (
+        jnp.zeros((1, 8), jnp.float32)
+        .at[0, :3].set(clear3)
+        .at[0, 3:5].set(clamp_bounds(clamp_weights))
+    )
     n_mats = int(scene.mat_base_color.shape[0])
     n_lights = int(scene.num_lights)
     f32 = lambda b: b.astype(jnp.float32)  # noqa: E731
@@ -681,7 +693,7 @@ def bounce_chain_packed(
             n_mats=n_mats, n_lights=n_lights,
             hitdist_weight=hitdist_weight,
             hitdist_accumulate=hitdist_accumulate,
-            clamp_weights=clamp_weights, t_min=t_min, t_max=t_max,
+            t_min=t_min, t_max=t_max,
             interpret=tracer.interpret,
             trace_out_shadow=out_sh, corr=corr,
         )

@@ -28,19 +28,22 @@ TRI_PAD = 64  # pad triangle count to a lane-friendly multiple
 
 
 def _tex_store_dtype(dtype):
-    """Mip-atlas storage dtype. VKRT_TEX_BF16=1 stores the MIP atlas in
-    bfloat16: texture fetch is random-gather-bound (~12 GB/s measured), so
-    halving the texel bytes halves the dominant cost of the 32-gather aniso
-    fetch; filtering math stays f32 (ops/texture._gather_texel casts after
-    the gather). Quality: bf16's 8-bit mantissa vs 8-bit source texels is a
-    <=0.4% texel error, invisible through the BRDF and bounded by test.
+    """Mip-atlas storage dtype — bfloat16 BY DEFAULT since round 4
+    (VKRT_TEX_BF16=0 restores f32): texture fetch is random-gather-bound
+    (~12 GB/s measured), so halving the texel bytes cuts the dominant cost
+    of the 32-gather aniso fetch (measured -3.1% on the hybrid-city frame,
+    822->797 ms, benchmarks/scratch/texmatrix_ab.py, interleaved);
+    filtering math stays f32 (ops/texture._gather_texel casts after the
+    gather). Quality: bf16's 8-bit mantissa vs 8-bit source texels is a
+    <=0.4% texel error, invisible through the BRDF and bounded by test
+    (tests/test_tex_bf16.py).
 
     ``tex_rgba`` (level 0, the path tracer / alpha-test array) is exempt
     and stays f32: bf16 quantization could flip an alpha-MASK cutoff
     comparison for alpha values landing exactly at alpha_cutoff
     (ops/alpha.py reads it), and level-0 fetches are not the measured
     texture bound (the hybrid aniso fan over the mip atlas is)."""
-    if os.environ.get("VKRT_TEX_BF16", "0") == "1":
+    if os.environ.get("VKRT_TEX_BF16", "1") == "1":
         return jnp.bfloat16
     return dtype
 
