@@ -93,6 +93,14 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="print per-run frame stats JSON to stderr")
     p.add_argument("--trace-dir", default=None,
                    help="write a jax.profiler device trace here")
+    p.add_argument("--interactive", action="store_true",
+                   help="live parameter loop on stdin — the headless ImGui "
+                        "panel (main.cpp:67-105): render/set/clear/camera/"
+                        "save commands between frames; traced knobs "
+                        "(view_accumulated, clamp_weights, clear color, "
+                        "max_frames, camera) apply with ZERO recompile, "
+                        "static ones (spp/depth/toggles) swap to a cached "
+                        "compiled step per combination")
     return p
 
 
@@ -182,6 +190,9 @@ def main(argv=None) -> int:
 
     from vkrt_tpu.utils.camera import orbit_camera
 
+    if args.interactive:
+        return run_interactive(engine, args, width, height)
+
     stats = FrameStats()
     t0 = time.time()
     out = None
@@ -220,6 +231,106 @@ def main(argv=None) -> int:
         print(f"saved state to {args.save_state}")
     write_png(args.out, img)
     print(f"wrote {args.out}")
+    return 0
+
+
+def run_interactive(engine, args, width, height) -> int:
+    """Live parameter loop — the headless equivalent of the reference's
+    ImGui panel (main.cpp:67-105): change any render setting between
+    frames from stdin. Any change resets accumulation like the reference
+    (main.cpp:103-104). Traced knobs (view_accumulated, clamp_weights,
+    clear color, max_frames, camera) reuse the compiled step; static ones
+    (spp/depth/use_* toggles) recompile once and are cached per
+    combination (persistent across processes, utils/jaxcache.py).
+
+    Commands (one per line; '#' comments and blank lines ignored):
+      render [N]           render N progressive frames (default 1)
+      set KEY VALUE        any RenderSettings field, e.g. set depth 5,
+                           set use_gi 1, set clamp_weights 1, set samples 2
+      clear R G B          clear color
+      eye X Y Z | lookat X Y Z | fov DEG      camera (resets accumulation)
+      save [PATH]          write the current composite PNG (default --out)
+      stats                frame counter + last render timing
+      quit                 exit (writes --out first)
+    """
+    import dataclasses
+    import jax
+
+    import jax.numpy as jnp
+
+    from vkrt_tpu.models.post import to_u8_image
+
+    out = None
+    last_ms = None
+
+    def render_n(k: int):
+        nonlocal out, last_ms
+        t0 = time.time()
+        for _ in range(k):
+            out = engine.render_frame()
+        _ = jax.device_get(out[:1])
+        last_ms = (time.time() - t0) / max(k, 1) * 1e3
+        print(f"rendered {k} frame(s), {last_ms:.1f} ms/frame "
+              f"(frame counter {engine.frame})")
+
+    fields = {f.name: f.type for f in dataclasses.fields(engine.settings)}
+    print("interactive: 'render N', 'set KEY VALUE', 'clear R G B', "
+          "'eye/lookat X Y Z', 'fov D', 'save [PATH]', 'stats', 'quit'",
+          flush=True)
+    for line in sys.stdin:
+        toks = line.split("#", 1)[0].split()
+        if not toks:
+            continue
+        cmd, rest = toks[0].lower(), toks[1:]
+        try:
+            if cmd == "quit":
+                break
+            elif cmd == "render":
+                render_n(int(rest[0]) if rest else 1)
+            elif cmd == "set":
+                key, val = rest[0], rest[1]
+                if key not in fields:
+                    print(f"unknown setting {key!r}; one of "
+                          f"{sorted(fields)}")
+                    continue
+                cur = getattr(engine.settings, key)
+                new = (val not in ("0", "false", "False")
+                       if isinstance(cur, bool) else type(cur)(val))
+                step0 = engine._step
+                engine.update_settings(engine.settings.replace(**{key: new}))
+                print(f"{key} = {new} "
+                      f"({'recompiled step' if engine._step is not step0 else 'no recompile'})")
+            elif cmd == "clear":
+                engine.clear_color = jnp.asarray(
+                    [float(x) for x in rest[:3]] + [1.0], jnp.float32)
+                engine.reset_frame()  # radiance changes: restart accumulation
+                print("clear color set (no recompile)")
+            elif cmd in ("eye", "lookat"):
+                kw = {"eye" if cmd == "eye" else "center":
+                      tuple(float(x) for x in rest[:3])}
+                engine.camera = dataclasses.replace(engine.camera, **kw)
+                print(f"{cmd} set (accumulation resets on next frame)")
+            elif cmd == "fov":
+                engine.camera = dataclasses.replace(
+                    engine.camera, fov_deg=float(rest[0]))
+                print("fov set")
+            elif cmd == "save":
+                path = rest[0] if rest else args.out
+                if out is None:
+                    render_n(1)
+                write_png(path, to_u8_image(out, width, height))
+                print(f"wrote {path}")
+            elif cmd == "stats":
+                print(f"frame {engine.frame}, last {last_ms and f'{last_ms:.1f}'} "
+                      f"ms/frame, total rays {engine.total_rays:.3g}")
+            else:
+                print(f"unknown command {cmd!r}")
+        except (ValueError, IndexError) as e:
+            print(f"bad command {line.strip()!r}: {e}")
+        sys.stdout.flush()
+    if out is not None:
+        write_png(args.out, to_u8_image(out, width, height))
+        print(f"wrote {args.out}")
     return 0
 
 
