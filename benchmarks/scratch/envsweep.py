@@ -48,6 +48,9 @@ def load_variant(spec: str):
         name = "trace_" + spec.replace("=", "").replace(",", "_") or "base"
         spec_ = importlib.util.spec_from_file_location(name, T_BASE.__file__)
         mod = importlib.util.module_from_spec(spec_)
+        # dataclasses (TraceSpec) resolve string annotations through
+        # sys.modules[cls.__module__] — register the copy before exec
+        sys.modules[name] = mod
         spec_.loader.exec_module(mod)
         return mod
     finally:
@@ -112,6 +115,7 @@ def main():
                     scene, pt, cam, 1, accum4, clear, width=w, height=h,
                     depth=depth, use_shadows=True, use_ao=True,
                     use_gi=True, use_denoiser=False, pix=pix, seeds=seeds,
+                    corr=True,  # production default (corr_sampler)
                 )
                 return jnp.sum(out[:, 0])
         else:
@@ -119,6 +123,7 @@ def main():
                 out, _ = pathtrace_frame(
                     scene, pt, cam, 1, accum, clear, width=w, height=h,
                     samples=1, depth=depth, pix=pix, seeds=seeds,
+                    corr=True,  # production default (corr_sampler)
                 )
                 return jnp.sum(out[:, 0])
 
