@@ -268,17 +268,26 @@ DEFAULT_SPEC = TraceSpec()
 BIG_SCENE_TRIS = 100_000
 
 
+# Whether the env PINNED these knobs, captured at IMPORT time like the
+# values themselves: envsweep-style harnesses exec module copies under a
+# temporary env and restore it afterwards, so a call-time os.environ check
+# in spec_for_scene would silently un-pin their variants.
+_CLUSTER_PINNED = "VKRT_CLUSTER" in os.environ
+_DYN_WORDS_PINNED = "VKRT_DYN_WORDS" in os.environ
+
+
 def spec_for_scene(n_tris: int) -> TraceSpec:
     """Per-scene kernel spec (VERDICT r3 item 2): big scenes take
     CLUSTER=128 and the dynamic super-word scan (their static unrolls are
     what made city-class first compiles cost minutes; steady state measured
     identical — see DYN_WORDS), small scenes keep 64 + static unroll (2-3
     words; nothing to save). Explicit VKRT_CLUSTER / VKRT_DYN_WORDS env
-    pins win over the heuristic (sweep harnesses rely on it)."""
+    pins (at module import) win over the heuristic (sweep harnesses rely
+    on it)."""
     spec = DEFAULT_SPEC
-    if "VKRT_CLUSTER" not in os.environ and n_tris >= BIG_SCENE_TRIS:
+    if not _CLUSTER_PINNED and n_tris >= BIG_SCENE_TRIS:
         spec = dataclasses.replace(spec, cluster=128)
-    if "VKRT_DYN_WORDS" not in os.environ and n_tris >= BIG_SCENE_TRIS:
+    if not _DYN_WORDS_PINNED and n_tris >= BIG_SCENE_TRIS:
         spec = dataclasses.replace(spec, dyn_words=True)
     return spec
 

@@ -81,8 +81,8 @@ class SceneArrays(NamedTuple):
     #                        alpha-MASK cutoffs compare against it)
     tex_size: jnp.ndarray  # (K,2) i32  (w,h)
     # full mip chains (hello_vulkan.cpp:499) packed side-by-side per texture
-    tex_mip_atlas: jnp.ndarray   # (K,TH,2*TW,4) f32, or bf16 under
-    #                              VKRT_TEX_BF16 (cast to f32 post-gather
+    tex_mip_atlas: jnp.ndarray   # (K,TH,2*TW,4) bf16 by default (f32 under
+    #                              VKRT_TEX_BF16=0; cast to f32 post-gather
     #                              in ops/texture._gather_texel)
     tex_level_size: jnp.ndarray  # (K,L,2) i32
     tex_level_off: jnp.ndarray   # (K,L) i32
