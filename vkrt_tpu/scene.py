@@ -295,39 +295,44 @@ def build_scene(
 
     density = _uv_density(v0, v1, v2, cuv)
 
+    # Convert dtypes HOST-side so every jnp.asarray below is a pure device
+    # transfer. jnp.asarray(x, dtype) with a mismatched dtype dispatches an
+    # on-device convert_element_type — each a separate compile-service call
+    # through the tunnel (BENCH_r03's 12.5s Cornell "scene load" was mostly
+    # these tiny compiles; host-converted it is ~1s).
+    def dev(x, dt=dtype):
+        return jnp.asarray(np.asarray(x, dtype=np.dtype(dt)))
+
     return SceneArrays(
-        tri_v0=jnp.asarray(v0, dtype),
-        tri_e1=jnp.asarray(v1 - v0, dtype),
-        tri_e2=jnp.asarray(v2 - v0, dtype),
-        corner_normal=jnp.asarray(cn, dtype),
-        corner_tangent=jnp.asarray(ctg, dtype),
-        corner_uv=jnp.asarray(cuv, dtype),
-        tri_mat=jnp.asarray(mat, jnp.int32),
-        mat_base_color=jnp.asarray(
-            np.stack([m.base_color_factor for m in mats]), dtype
+        tri_v0=dev(v0),
+        tri_e1=dev(v1 - v0),
+        tri_e2=dev(v2 - v0),
+        corner_normal=dev(cn),
+        corner_tangent=dev(ctg),
+        corner_uv=dev(cuv),
+        tri_mat=dev(mat, jnp.int32),
+        mat_base_color=dev(np.stack([m.base_color_factor for m in mats])),
+        mat_base_tex=dev([m.base_color_texture for m in mats], jnp.int32),
+        mat_metallic=dev([m.metallic_factor for m in mats]),
+        mat_roughness=dev([m.roughness_factor for m in mats]),
+        mat_mr_tex=dev([m.metallic_roughness_texture for m in mats], jnp.int32
         ),
-        mat_base_tex=jnp.asarray([m.base_color_texture for m in mats], jnp.int32),
-        mat_metallic=jnp.asarray([m.metallic_factor for m in mats], dtype),
-        mat_roughness=jnp.asarray([m.roughness_factor for m in mats], dtype),
-        mat_mr_tex=jnp.asarray(
-            [m.metallic_roughness_texture for m in mats], jnp.int32
-        ),
-        mat_normal_tex=jnp.asarray([m.normal_texture for m in mats], jnp.int32),
-        mat_emissive=jnp.asarray(np.stack([m.emissive_factor for m in mats]), dtype),
-        mat_emissive_tex=jnp.asarray([m.emissive_texture for m in mats], jnp.int32),
-        mat_alpha_mode=jnp.asarray([m.alpha_mode for m in mats], jnp.int32),
-        mat_alpha_cutoff=jnp.asarray([m.alpha_cutoff for m in mats], dtype),
-        light_pos=jnp.asarray(np.stack([l.position for l in lights]), dtype),
-        light_color=jnp.asarray(np.stack([l.color for l in lights]), dtype),
-        light_intensity=jnp.asarray([l.intensity for l in lights], dtype),
-        light_type=jnp.asarray([l.type for l in lights], jnp.int32),
-        tex_rgba=jnp.asarray(tex, dtype),  # f32 always, see _tex_store_dtype
-        tex_size=jnp.asarray(tex_size, jnp.int32),
-        tex_mip_atlas=jnp.asarray(atlas, _tex_store_dtype(dtype)),
-        tex_level_size=jnp.asarray(level_size, jnp.int32),
-        tex_level_off=jnp.asarray(level_off, jnp.int32),
-        tex_n_levels=jnp.asarray(n_levels, jnp.int32),
-        tri_uv_density=jnp.asarray(density, dtype),
+        mat_normal_tex=dev([m.normal_texture for m in mats], jnp.int32),
+        mat_emissive=dev(np.stack([m.emissive_factor for m in mats])),
+        mat_emissive_tex=dev([m.emissive_texture for m in mats], jnp.int32),
+        mat_alpha_mode=dev([m.alpha_mode for m in mats], jnp.int32),
+        mat_alpha_cutoff=dev([m.alpha_cutoff for m in mats]),
+        light_pos=dev(np.stack([l.position for l in lights])),
+        light_color=dev(np.stack([l.color for l in lights])),
+        light_intensity=dev([l.intensity for l in lights]),
+        light_type=dev([l.type for l in lights], jnp.int32),
+        tex_rgba=dev(tex),  # f32 always, see _tex_store_dtype
+        tex_size=dev(tex_size, jnp.int32),
+        tex_mip_atlas=dev(atlas, _tex_store_dtype(dtype)),
+        tex_level_size=dev(level_size, jnp.int32),
+        tex_level_off=dev(level_off, jnp.int32),
+        tex_n_levels=dev(n_levels, jnp.int32),
+        tri_uv_density=dev(density),
     )
 
 
