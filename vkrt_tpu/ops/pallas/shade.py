@@ -681,10 +681,10 @@ def bounce_chain_packed(
     for d in range(start_depth, depth):
         params_d = params
         if corr:
-            from vkrt_tpu.ops.rng import block_uniform_table
+            from vkrt_tpu.ops.rng import block_table_rep
 
             params_d = jnp.concatenate(
-                [params, block_uniform_table(n_blocks, corr_seed, d)], axis=0
+                [params, block_table_rep(n_blocks, corr_seed, d)], axis=0
             )
         out = tracer.closest_packed(ray_cur, t_min)
         carry_blk, next_rays, shadow_rays = shade_call(

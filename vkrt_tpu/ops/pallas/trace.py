@@ -274,6 +274,7 @@ BIG_SCENE_TRIS = 100_000
 # in spec_for_scene would silently un-pin their variants.
 _CLUSTER_PINNED = "VKRT_CLUSTER" in os.environ
 _DYN_WORDS_PINNED = "VKRT_DYN_WORDS" in os.environ
+_BLOCK_ROWS_PINNED = "VKRT_BLOCK_ROWS" in os.environ
 
 
 def spec_for_scene(n_tris: int) -> TraceSpec:
@@ -289,6 +290,16 @@ def spec_for_scene(n_tris: int) -> TraceSpec:
         spec = dataclasses.replace(spec, cluster=128)
     if not _DYN_WORDS_PINNED and n_tris >= BIG_SCENE_TRIS:
         spec = dataclasses.replace(spec, dyn_words=True)
+    if not _BLOCK_ROWS_PINNED and n_tris < BIG_SCENE_TRIS:
+        # 2048-ray blocks under the round-4 CORRELATED sampler: the shared
+        # per-block draw set doubles its amortization and the per-program
+        # overhead halves, while the coherent pool keeps the footprint
+        # union from widening. Interleaved on-device A/B (envsweep):
+        # Cornell d3 43.1 -> 39.7 ms (-7.9%); the city measured +2.0%
+        # (its saturated footprint DOES widen), so big scenes keep 8.
+        # Pre-corr (independent draws) 16 measured a no-op — this flip is
+        # only correct because corr_sampler is the default.
+        spec = dataclasses.replace(spec, block_rows=16)
     return spec
 
 

@@ -89,6 +89,27 @@ def seed_pixels(width: int, height: int, frame):
 
 CORR_DRAWS = 6  # lobe, light, hemi r1/r2, ggx r1/r2
 
+# How many consecutive 1024-ray kernel blocks share ONE draw row. The trace
+# kernel's block is spec.block_rows*128 rays (16 rows = 2048 on small scenes
+# since round 4), while the shade kernel and this table stay at 8-row
+# granularity — rep=2 makes draw coherence span the whole 2048-ray trace
+# block (one bundle per block instead of two). Read at trace time so sweep
+# harnesses can monkeypatch it per jitted variant.
+import os as _os
+
+CORR_REP = int(_os.environ.get("VKRT_CORR_REP", "1"))
+
+
+def block_table_rep(n_blocks: int, corr_seed, depth: int):
+    """block_uniform_table with CORR_REP consecutive blocks sharing a row."""
+    import vkrt_tpu.ops.rng as _self  # late-bind for monkeypatched sweeps
+
+    rep = _self.CORR_REP
+    if rep == 1:
+        return block_uniform_table(n_blocks, corr_seed, depth)
+    tab = block_uniform_table(-(-n_blocks // rep), corr_seed, depth)
+    return jnp.repeat(tab, rep, axis=0)[:n_blocks]
+
 
 def block_uniform_table(n_blocks: int, corr_seed, depth: int):
     """(G, 8) f32 of per-block shared uniforms in [0,1) for one bounce.
@@ -110,8 +131,10 @@ def block_uniform_table(n_blocks: int, corr_seed, depth: int):
 
 def corr_draws(n: int, corr_seed, depth: int, block: int = 1024):
     """Per-lane view of the block table: (N, CORR_DRAWS) f32, each 1024-lane
-    kernel block sharing one row. Pool order must equal trace-block order
-    (it does: the engine feeds tile-ordered pools and never re-sorts)."""
+    kernel block sharing one row (CORR_REP consecutive blocks share one —
+    must match the shade-kernel path, which reads block_table_rep rows).
+    Pool order must equal trace-block order (it does: the engine feeds
+    tile-ordered pools and never re-sorts)."""
     g = -(-n // block)
-    tab = block_uniform_table(g, corr_seed, depth)[:, :CORR_DRAWS]
+    tab = block_table_rep(g, corr_seed, depth)[:, :CORR_DRAWS]
     return jnp.repeat(tab, block, axis=0)[:n]
