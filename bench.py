@@ -137,6 +137,23 @@ def main():
             best_dt, total_rays = dt, batch_rays
     dt = best_dt
 
+    # validate the IMAGE before posting a number: a NaN/Inf pipeline must
+    # fail the bench, not publish a meaningless Mrays/s (VERDICT r4 weak 2 —
+    # round 4 posted ok:true harness results over an all-NaN render)
+    import numpy as np
+
+    final = np.asarray(jax.device_get(accum))
+    if not np.isfinite(final).all():
+        bad = int((~np.isfinite(final)).sum())
+        print(f"[bench] FATAL: non-finite accum ({bad} elements) — "
+              "refusing to report throughput for a broken image",
+              file=sys.stderr, flush=True)
+        sys.exit(4)
+    if float(final.max()) <= 0.0:
+        print("[bench] FATAL: all-zero/black accum — refusing to report",
+              file=sys.stderr, flush=True)
+        sys.exit(4)
+
     ms_per_frame = dt / n_frames * 1e3
     mrays = total_rays / dt / 1e6
     print(

@@ -66,6 +66,7 @@ def main():
         return jnp.sum(out[:, 0])
 
     fns = {}
+    rep0 = rng.CORR_REP  # restore the env-configured value, not literal 1
     for rep in (1, 2, 4):
         rng.CORR_REP = rep
         f = jax.jit(frame)
@@ -74,7 +75,7 @@ def main():
         print(f"[rep={rep}] compile+frame0 {time.perf_counter()-t0:.1f}s",
               flush=True)
         fns[rep] = f
-    rng.CORR_REP = 1
+    rng.CORR_REP = rep0
 
     acc = {k: [] for k in fns}
     for _ in range(4):

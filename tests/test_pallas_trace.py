@@ -477,3 +477,28 @@ def test_dyn_words_matches_default(rng):
             np.asarray(at_v.nrm), np.asarray(at_r.nrm)
         )
         np.testing.assert_array_equal(np.asarray(at_v.uv), np.asarray(at_r.uv))
+
+
+def test_small_pool_under_wide_prog_rows(box, rng):
+    """Regression for ADVICE r4 high / the round-4 all-NaN suite: a pool
+    padded to 8-row blocks fed to a block_rows=16 tracer used to launch a
+    ZERO-program grid (chunk=8, 8//16=0) and return uninitialized rows.
+    _chunk_rows now rounds the chunk up to a prog_rows multiple, so every
+    ray is traced regardless of the caller's padding granularity."""
+    from vkrt_tpu.ops.pallas.trace import _pack_rays
+
+    pt8 = _variant_tracer(box, block_rows=8)
+    pt16 = _variant_tracer(box, block_rows=16)
+    n = 700  # 6 rows -> pads to 8 under PROG_ROWS=8
+    o, d = _rays(n, rng)
+    lim = jnp.full((n,), 1e4, jnp.float32)
+    # pack at the SHADE kernel's granularity (8 rows), trace with BOTH specs
+    packed, _, rows = _pack_rays(o, d, lim, 8)
+    assert rows == 8
+    out16 = pt16.closest_packed_plain(packed, 1e-3)
+    out8 = pt8.closest_packed_plain(packed, 1e-3)
+    a16 = np.asarray(out16)
+    assert np.isfinite(a16[:, :128]).all(), "untraced rows leaked through"
+    idx16 = a16[:, 128:256].view(np.int32).reshape(-1)[:n]
+    idx8 = np.asarray(out8)[:, 128:256].view(np.int32).reshape(-1)[:n]
+    np.testing.assert_array_equal(idx16 >= 0, idx8 >= 0)

@@ -593,10 +593,14 @@ def shade_call(
 # --- packed-layout helpers ---------------------------------------------------
 
 
-def pack_lanes(arrs, n: int):
+def pack_lanes(arrs, n: int, prog_rows: int = PROG_ROWS):
     """Pack (N,) f32 columns into one (R, K*128) lane-dense block, zero-
-    padding N up to whole PROG_ROWS*128 blocks."""
-    block = PROG_ROWS * LANES
+    padding N up to whole prog_rows*128 blocks. Callers that feed a tracer
+    must pass max(PROG_ROWS, tracer.spec.prog_rows) so both the shade grid
+    (PROG_ROWS programs) and the trace grid (spec.prog_rows programs)
+    divide the pool (ADVICE r4 high: an 8-row pool under a block_rows=16
+    tracer launched a zero-program grid)."""
+    block = prog_rows * LANES
     total = -(-n // block) * block
     cols = []
     for a in arrs:
@@ -642,6 +646,11 @@ def bounce_chain_packed(
     rays_main = carry.rays_main + jnp.sum(f32(active0))
     rays_shadow = carry.rays_shadow
 
+    # pool padding granularity: both the shade kernel's PROG_ROWS-row grid
+    # and the tracer's spec.prog_rows-row grid must divide the pool (one is
+    # a multiple of the other — both are 8 or 16)
+    pr = max(PROG_ROWS, tracer.spec.prog_rows)
+
     # entry packing (once per chain, not per bounce)
     ray_cur = pack_lanes(
         [
@@ -654,6 +663,7 @@ def bounce_chain_packed(
             jnp.where(active0, jnp.full((n,), t_max, jnp.float32), -1.0),
         ],
         n,
+        pr,
     )
     zeros = jnp.zeros((n,), jnp.float32)
     carry_blk = pack_lanes(
@@ -667,6 +677,7 @@ def bounce_chain_packed(
             carry.hit_dists, zeros, zeros, zeros, zeros,
         ],
         n,
+        pr,
     )
 
     # Split launches per bounce: the bounce rays go through the RESOLVE

@@ -1690,11 +1690,17 @@ def _pack_rays(orig, direction, t_lim, prog_rows: int = PROG_ROWS):
     return jnp.concatenate(comps, axis=1), n, rows
 
 
-def _chunk_rows(packed, rows):
+def _chunk_rows(packed, rows, prog_rows: int = PROG_ROWS):
     """Reshape (rows, C) to (n_chunks, chunk, C), padding rows to a chunk
     multiple. Pad rays get origin=1e30 / dir=0 / t_lim=0 so every slab test
-    rejects them."""
-    chunk = min(CHUNK_ROWS, rows)
+    rejects them.
+
+    The chunk is rounded UP to a prog_rows multiple so the launch grid
+    (chunk // prog_rows) is never 0: a pool padded to 8-row blocks fed to a
+    block_rows=16 tracer would otherwise silently trace NOTHING and hand
+    uninitialized output rows to the shade kernel (the round-4 all-NaN
+    regression — ADVICE r4 high)."""
+    chunk = min(CHUNK_ROWS, -(-rows // prog_rows) * prog_rows)
     pad = (-rows) % chunk
     if pad:
         pad_row = jnp.zeros((packed.shape[1],), packed.dtype)
@@ -1713,7 +1719,7 @@ def _packed_trace(cs: ClusterScene, packed, n_levels, t_min, true_super,
     spec = cs.spec
     prog_rows = spec.prog_rows
     rows = packed.shape[0]
-    chunks, chunk_rows = _chunk_rows(packed, rows)
+    chunks, chunk_rows = _chunk_rows(packed, rows, prog_rows)
     out_cols = OUT_COLS_RESOLVE if resolve else OUT_COLS_PLAIN
     ray_spec = pl.BlockSpec(
         (prog_rows, 7 * LANES), lambda i: (i, 0), memory_space=pltpu.VMEM

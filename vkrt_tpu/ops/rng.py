@@ -129,12 +129,18 @@ def block_uniform_table(n_blocks: int, corr_seed, depth: int):
     return jnp.stack(us, axis=1)
 
 
-def corr_draws(n: int, corr_seed, depth: int, block: int = 1024):
-    """Per-lane view of the block table: (N, CORR_DRAWS) f32, each 1024-lane
-    kernel block sharing one row (CORR_REP consecutive blocks share one —
-    must match the shade-kernel path, which reads block_table_rep rows).
+def corr_draws(n: int, corr_seed, depth: int, block: int = None):
+    """Per-lane view of the block table: (N, CORR_DRAWS) f32, each
+    PROG_ROWS*128-lane shade-kernel block sharing one row (CORR_REP
+    consecutive blocks share one — must match the shade-kernel path, which
+    reads block_table_rep rows indexed by its PROG_ROWS-row program id, so
+    the default block size is DERIVED from that constant; ADVICE r4).
     Pool order must equal trace-block order (it does: the engine feeds
     tile-ordered pools and never re-sorts)."""
+    if block is None:
+        from vkrt_tpu.ops.pallas.trace import PROG_ROWS, LANES
+
+        block = PROG_ROWS * LANES
     g = -(-n // block)
     tab = block_table_rep(g, corr_seed, depth)[:, :CORR_DRAWS]
     return jnp.repeat(tab, block, axis=0)[:n]
