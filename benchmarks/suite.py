@@ -40,7 +40,8 @@ def _assert_finite_image(name, arr):
         raise AssertionError(f"[suite:{name}] all-zero output image")
 
 
-def run_engine_bench(name, scene, settings, width, height, frames, camera_fn=None):
+def run_engine_bench(name, scene, settings, width, height, frames,
+                     camera_fn=None, png_out=None):
     import jax
 
     from vkrt_tpu.engine import Engine
@@ -63,6 +64,12 @@ def run_engine_bench(name, scene, settings, width, height, frames, camera_fn=Non
     final = jax.device_get(out)
     dt = time.time() - t0
     _assert_finite_image(name, final)
+    if png_out:
+        from vkrt_tpu.models.post import to_u8_image
+        from vkrt_tpu.utils.png import write_png
+
+        write_png(png_out, to_u8_image(out, width, height))
+        print(f"[suite] wrote {png_out}", file=sys.stderr)
     rec = {
         "config": name,
         "ms_per_frame": round(dt / frames * 1e3, 2),
@@ -137,7 +144,7 @@ def main(argv=None):
     p.add_argument("--width", type=int, default=1280)
     p.add_argument("--height", type=int, default=720)
     p.add_argument("--frames", type=int, default=8)
-    p.add_argument("--configs", type=str, default="1,2,3,4,5,6,7")
+    p.add_argument("--configs", type=str, default="1,2,3,4,5,6,7,8")
     args = p.parse_args(argv)
 
     from vkrt_tpu.utils.jaxcache import enable
@@ -192,6 +199,34 @@ def main(argv=None):
         cornell = load_cornell()
         results.append(run_sharded_bench(
             "cornell_sharded_mesh", cornell, w, h, n, depth=3,
+        ))
+    if "8" in wanted:
+        # Real ON-DISK asset layout (VERDICT r4 next 7): the generated
+        # sponzoid hall in Sponza's exact file layout — .gltf + external
+        # .bin + external JPEG baseColor / PNG normal-map URIs, 4 textured
+        # materials, TANGENTs, KHR point lights, ~162k tris — rendered
+        # through parse_gltf -> build_scene -> Engine and saved to PNG.
+        import os as _os
+
+        import numpy as _np
+
+        from vkrt_tpu.utils.camera import Camera as _Cam
+        from vkrt_tpu.utils.sponzoid import load_sponzoid
+
+        adir = _os.path.join(_os.path.dirname(__file__), "assets", "sponzoid")
+        t0 = time.time()
+        sponz = load_sponzoid(adir, tess=4)
+        print(f"[suite] sponzoid: {sponz.num_tris} tris, "
+              f"{sponz.tex_rgba.shape[0] if hasattr(sponz, 'tex_rgba') else 0}"
+              f" textures ({time.time()-t0:.1f}s load)", file=sys.stderr)
+        cam8 = _Cam(eye=_np.array([0.0, 6.0, 26.0]),
+                    center=_np.array([0.0, 5.0, 0.0]),
+                    up=_np.array([0.0, 1.0, 0.0]))
+        results.append(run_engine_bench(
+            "sponzoid_disk_pathtrace", sponz,
+            RenderSettings(rt_mode=1, samples=1, depth=3), w, h, n,
+            camera_fn=lambda t: cam8,
+            png_out=_os.path.join(adir, "sponzoid_render.png"),
         ))
     if "7" in wanted:
         # Sponza-SCALE stress (default row since round 4) — ~2.8x the
