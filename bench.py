@@ -50,6 +50,11 @@ def main():
     claim_ok = _device_watchdog()
     jax.devices()
     claim_ok.set()
+    # pay the tunnel's one-time device->host transfer init (~60-105 s) on a
+    # background thread, overlapped with scene build + tracing + compile
+    from vkrt_tpu.utils.hostmirror import warm_transfer_path
+
+    warm_transfer_path()
     import jax.numpy as jnp
     from functools import partial
 
@@ -153,6 +158,23 @@ def main():
         print("[bench] FATAL: all-zero/black accum — refusing to report",
               file=sys.stderr, flush=True)
         sys.exit(4)
+
+    # on-device accuracy anchor (VERDICT r4 next 6): small-res Cornell on
+    # THIS device vs the f64 CPU oracle, recorded in TPU_ACCURACY.json.
+    # An out-of-budget result fails the bench; an infra failure of the
+    # oracle leg (no CPU backend etc.) warns but keeps the perf line.
+    try:
+        from benchmarks.tpu_accuracy import run as accuracy_run
+
+        rec = accuracy_run()
+    except Exception as e:  # infra-only: accuracy misses are rec["ok"]
+        print(f"[bench] WARNING: accuracy anchor failed to run: {e!r}",
+              file=sys.stderr, flush=True)
+    else:
+        if not rec["ok"]:
+            print(f"[bench] FATAL: device accuracy out of budget: {rec}",
+                  file=sys.stderr, flush=True)
+            sys.exit(5)
 
     ms_per_frame = dt / n_frames * 1e3
     mrays = total_rays / dt / 1e6

@@ -150,6 +150,9 @@ def main(argv=None):
     from vkrt_tpu.utils.jaxcache import enable
 
     enable()
+    from vkrt_tpu.utils.hostmirror import warm_transfer_path
+
+    warm_transfer_path()  # overlap the tunnel's one-time transfer init
 
     from vkrt_tpu.config import RenderSettings
     from vkrt_tpu.scene import load_cornell, make_city

@@ -120,6 +120,10 @@ def main(argv=None) -> int:
     from vkrt_tpu.utils.jaxcache import enable as enable_cache
 
     enable_cache()
+    if not args.cpu:
+        from vkrt_tpu.utils.hostmirror import warm_transfer_path
+
+        warm_transfer_path()  # overlap the tunnel's one-time transfer init
 
     cfg = EngineConfig()
     if args.config:

@@ -43,7 +43,9 @@ DEFAULT_ROUNDS = 4
 
 def scene_has_alpha(scene) -> bool:
     """Host-side static gate: True iff any material can punch through."""
-    return bool((np.asarray(scene.mat_alpha_mode) != 0).any())
+    from vkrt_tpu.utils.hostmirror import asnumpy
+
+    return bool((asnumpy(scene.mat_alpha_mode) != 0).any())
 
 
 def opacity_at_hit(scene, tri, u, v):

@@ -2036,14 +2036,19 @@ def tracer_with_arrays(proto: PallasTracer, arrs) -> PallasTracer:
 
 def make_pallas_tracer(scene, interpret: bool = None,
                        spec: TraceSpec = None) -> PallasTracer:
+    from vkrt_tpu.utils.hostmirror import asnumpy
+
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     if spec is None:
-        spec = spec_for_scene(int(np.asarray(scene.tri_v0).shape[0]))
+        spec = spec_for_scene(int(scene.tri_v0.shape[0]))
+    # host mirrors: the whole cluster build is numpy work; pulling the
+    # device copies instead cost the tunnel's one-time ~100 s transfer
+    # init inside make_tracer (utils/hostmirror.py)
     cs = build_cluster_scene(
-        scene.tri_v0, scene.tri_e1, scene.tri_e2,
-        attrs=(scene.corner_normal, scene.corner_tangent, scene.corner_uv,
-               scene.tri_mat),
+        asnumpy(scene.tri_v0), asnumpy(scene.tri_e1), asnumpy(scene.tri_e2),
+        attrs=(asnumpy(scene.corner_normal), asnumpy(scene.corner_tangent),
+               asnumpy(scene.corner_uv), asnumpy(scene.tri_mat)),
         spec=spec,
     )
     return PallasTracer(cs=cs, interpret=interpret)

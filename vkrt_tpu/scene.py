@@ -301,7 +301,13 @@ def build_scene(
     # through the tunnel (BENCH_r03's 12.5s Cornell "scene load" was mostly
     # these tiny compiles; host-converted it is ~1s).
     def dev(x, dt=dtype):
-        return jnp.asarray(np.asarray(x, dtype=np.dtype(dt)))
+        from vkrt_tpu.utils.hostmirror import register
+
+        h = np.asarray(x, dtype=np.dtype(dt))
+        # keep the host copy: tracer build / scene_is_textured / refit read
+        # these back with asnumpy(), and the tunnel's FIRST device->host
+        # pull costs ~100 s (utils/hostmirror.py)
+        return register(jnp.asarray(h), h)
 
     return SceneArrays(
         tri_v0=dev(v0),
@@ -349,13 +355,13 @@ def scene_is_textured(scene: SceneArrays) -> bool:
     Conservatively True if the scene arrays are tracers.
     """
     try:
-        import numpy as _np
+        from vkrt_tpu.utils.hostmirror import asnumpy as _np_of
 
         return bool(
-            (_np.asarray(scene.mat_base_tex) >= 0).any()
-            or (_np.asarray(scene.mat_mr_tex) >= 0).any()
-            or (_np.asarray(scene.mat_normal_tex) >= 0).any()
-            or (_np.asarray(scene.mat_emissive_tex) >= 0).any()
+            (_np_of(scene.mat_base_tex) >= 0).any()
+            or (_np_of(scene.mat_mr_tex) >= 0).any()
+            or (_np_of(scene.mat_normal_tex) >= 0).any()
+            or (_np_of(scene.mat_emissive_tex) >= 0).any()
         )
     except Exception:
         return True
@@ -540,7 +546,9 @@ def scene_from_soup(
     built = build_scene(doc)
     mat = np.zeros(built.tri_mat.shape[0], np.int32)
     mat[: len(mat_ids)] = mat_ids
-    return built._replace(tri_mat=jnp.asarray(mat))
+    from vkrt_tpu.utils.hostmirror import register
+
+    return built._replace(tri_mat=register(jnp.asarray(mat), mat))
 
 
 def make_cornell_box() -> SceneArrays:
