@@ -41,7 +41,7 @@ def _assert_finite_image(name, arr):
 
 
 def run_engine_bench(name, scene, settings, width, height, frames,
-                     camera_fn=None, png_out=None):
+                     camera_fn=None, png_out=None, extra_metrics_fn=None):
     import jax
 
     from vkrt_tpu.engine import Engine
@@ -78,6 +78,8 @@ def run_engine_bench(name, scene, settings, width, height, frames,
         "frames": frames,
         "resolution": f"{width}x{height}",
     }
+    if extra_metrics_fn is not None:
+        rec.update(extra_metrics_fn(final, eng))
     print(json.dumps(rec), flush=True)
     return rec
 
@@ -191,12 +193,43 @@ def main(argv=None):
                 camera_fn=lambda t: orbit_camera(0.12, radius=300, height=48),
             ))
         if "5" in wanted:
+            den_settings = RenderSettings(rt_mode=0, use_shadows=True,
+                                          use_ao=True, use_gi=True,
+                                          use_denoiser=True)
+            cam5 = lambda t: orbit_camera(t, radius=300, height=48)  # noqa: E731
+
+            def _rmse_vs_converged(final_out, _eng, frames=n):
+                """Accuracy column for the denoised row (VERDICT r4 next 5):
+                the last fly-through frame vs a converged static
+                accumulation at the SAME pose with the denoiser off
+                (methodology of tests/test_denoiser.py); also the raw
+                1-frame noisy RMSE so the denoiser's gain is visible."""
+                import jax as _jax
+                import numpy as _np
+
+                from vkrt_tpu.engine import Engine as _Engine
+
+                t_last = (frames - 1) / max(frames, 1)
+                base = den_settings.replace(use_denoiser=False)
+                ref_eng = _Engine(city, w, h, base, camera=cam5(t_last))
+                ref = None
+                for _ in range(64):
+                    ref = ref_eng.render_frame()
+                ref = _np.asarray(_jax.device_get(ref))
+                noisy_eng = _Engine(city, w, h, base, camera=cam5(t_last))
+                noisy = _np.asarray(_jax.device_get(noisy_eng.render_frame()))
+                a = _np.asarray(final_out)
+
+                def rm(x):
+                    return float(_np.sqrt(_np.mean((x - ref) ** 2)))
+
+                return {"rmse_vs_converged": round(rm(a), 5),
+                        "rmse_noisy_1frame": round(rm(noisy), 5)}
+
             results.append(run_engine_bench(
-                "city_flythrough_denoised", city,
-                RenderSettings(rt_mode=0, use_shadows=True, use_ao=True,
-                               use_gi=True, use_denoiser=True),
-                w, h, n,
-                camera_fn=lambda t: orbit_camera(t, radius=300, height=48),
+                "city_flythrough_denoised", city, den_settings,
+                w, h, n, camera_fn=cam5,
+                extra_metrics_fn=_rmse_vs_converged,
             ))
     if "6" in wanted:
         cornell = load_cornell()
