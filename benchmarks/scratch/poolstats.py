@@ -53,9 +53,13 @@ def pools(scene, pt, w, h, depth):
     if not pt.resolves_attrs:
         # textured / over-budget scenes run the XLA bounce path in
         # production; evolve the pools the same way (surface_at_hit +
-        # sample_bsdf on the plain trace results)
+        # sample_bsdf on the plain trace results), INCLUDING the round-4
+        # correlated per-block draws (production default) — without them
+        # the measured footprint is the obsolete independent-draw one
         from vkrt_tpu.models.shading import sample_bsdf, surface_at_hit
+        from vkrt_tpu.ops.rng import corr_draws, tea as _tea
 
+        corr_seed = _tea(jnp.uint32(1), jnp.uint32(0x9E3779B9))
         o, di, sd = origin, direction, seeds
         active = jnp.ones((n,), bool)
         for d in range(depth):
@@ -63,7 +67,8 @@ def pools(scene, pt, w, h, depth):
                             t_lim=jnp.where(active, T_MAX, -1.0))
             miss = ~hi.hit & active | ~active
             surf = surface_at_hit(scene, jnp.maximum(hi.tri, 0), hi.u, hi.v, di)
-            bs = sample_bsdf(scene, surf, di, sd, (d == 0) | jnp.zeros((n,), bool))
+            bs = sample_bsdf(scene, surf, di, sd, (d == 0) | jnp.zeros((n,), bool),
+                             corr=corr_draws(n, corr_seed, d))
             do_shadow = active & ~miss & ~bs.is_specular
             sh_o = jnp.where(do_shadow[:, None], surf.world_pos, 1e30)
             sh_d = jnp.where(do_shadow[:, None], bs.shadow_dir, 0.0)
@@ -82,16 +87,25 @@ def pools(scene, pt, w, h, depth):
         return out_pools
     first = True
     out_sh = None
+    # round-4 production default: correlated per-block draws ride as extra
+    # params rows (bounce_chain_packed wiring) — footprints without them
+    # are the obsolete independent-draw ones
+    from vkrt_tpu.ops.rng import block_table_rep, tea as _tea
+
+    corr_seed = _tea(jnp.uint32(1), jnp.uint32(0x9E3779B9))
+    n_blocks = carry.shape[0] // sh.PROG_ROWS
     for d in range(depth):
+        params_d = jnp.concatenate(
+            [params, block_table_rep(n_blocks, corr_seed, d)], axis=0)
         out = pt.closest_packed(ray, T_MIN)
         carry, nxt, shdw = sh.shade_call(
-            mat_tab, light_tab, params, carry, ray, out,
+            mat_tab, light_tab, params_d, carry, ray, out,
             d=d, first=first, resolve_hd=(not first and d - 1 == 1),
             n_mats=int(scene.mat_base_color.shape[0]),
             n_lights=int(scene.num_lights), hitdist_weight=1.0,
             hitdist_accumulate=False, clamp_weights=False,
             t_min=T_MIN, t_max=T_MAX, interpret=False,
-            trace_out_shadow=out_sh)
+            trace_out_shadow=out_sh, corr=True)
         out_sh = pt.closest_packed_plain(shdw, T_MIN)
         out_pools.append((f"shadow d={d}", shdw))
         if d < depth - 1:

@@ -65,7 +65,7 @@ FANOUT = 16           # tree fanout = boxes per vote word
 # union; measured on the e2e bench: 8 -> 4.96 Mrays/s, 16 -> 4.53, 4 fails
 # Mosaic's sublane tiling. Env override for measurement sweeps.
 BLOCK_ROWS = int(os.environ.get("VKRT_BLOCK_ROWS", "8"))
-assert BLOCK_ROWS in (8, 16), BLOCK_ROWS
+assert BLOCK_ROWS in (8, 16, 32), BLOCK_ROWS
 PROG_ROWS = BLOCK_ROWS
 LANES = 128
 INF = 3e38  # python float: jnp scalars would be captured as kernel constants
@@ -227,7 +227,7 @@ class TraceSpec:
 
     def __post_init__(self):
         assert self.cluster in (32, 64, 128), self.cluster
-        assert self.block_rows in (8, 16), self.block_rows
+        assert self.block_rows in (8, 16, 32), self.block_rows
         assert self.isect in ("mt", "bw"), self.isect
 
     # --- derived constants ---------------------------------------------
@@ -1700,7 +1700,12 @@ def _chunk_rows(packed, rows, prog_rows: int = PROG_ROWS):
     block_rows=16 tracer would otherwise silently trace NOTHING and hand
     uninitialized output rows to the shade kernel (the round-4 all-NaN
     regression — ADVICE r4 high)."""
-    chunk = min(CHUNK_ROWS, -(-rows // prog_rows) * prog_rows)
+    # both arms rounded UP to a prog_rows multiple: CHUNK_ROWS=1200 is not
+    # a multiple of prog_rows=32, and a non-multiple chunk silently drops
+    # its tail rows from the grid (the same class of bug as the round-4
+    # zero-grid regression this docstring describes)
+    chunk = min(-(-CHUNK_ROWS // prog_rows) * prog_rows,
+                -(-rows // prog_rows) * prog_rows)
     pad = (-rows) % chunk
     if pad:
         pad_row = jnp.zeros((packed.shape[1],), packed.dtype)
