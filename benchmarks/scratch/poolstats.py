@@ -38,7 +38,12 @@ def pools(scene, pt, w, h, depth):
     origin, direction = generate_rays(cam, w, h, jnp.full((n, 2), 0.5), pix=pix)
     seeds = tea(pid, jnp.uint32(1))
     mat_tab, light_tab = sh.scene_tables(scene)
-    params = jnp.zeros((1, 8), jnp.float32).at[0, :3].set(1.0)
+    # params row: [clear rgb | clamp lo | clamp hi | pad] — clamp off is
+    # the [-inf, +inf] identity (models.shading.clamp_bounds)
+    params = (jnp.zeros((1, 8), jnp.float32)
+              .at[0, :3].set(1.0)
+              .at[0, 3].set(-jnp.inf)
+              .at[0, 4].set(jnp.inf))
     act = jnp.ones((n,), jnp.float32)
     zeros = jnp.zeros((n,), jnp.float32)
     ray = sh.pack_lanes(
@@ -103,7 +108,7 @@ def pools(scene, pt, w, h, depth):
             d=d, first=first, resolve_hd=(not first and d - 1 == 1),
             n_mats=int(scene.mat_base_color.shape[0]),
             n_lights=int(scene.num_lights), hitdist_weight=1.0,
-            hitdist_accumulate=False, clamp_weights=False,
+            hitdist_accumulate=False,
             t_min=T_MIN, t_max=T_MAX, interpret=False,
             trace_out_shadow=out_sh, corr=True)
         out_sh = pt.closest_packed_plain(shdw, T_MIN)
