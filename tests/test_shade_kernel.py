@@ -27,10 +27,19 @@ def box():
 def test_gate(box):
     pt = make_pallas_tracer(box, interpret=True)
     assert kernel_shading_available(box, pt)
-    # stripping the attr tables disables it
-    assert not kernel_shading_available(
+    # round 5: stripping the attr tables no longer disables the kernel —
+    # the gather-fed mode covers non-resolving tracers
+    # (tests/test_shade_kernel_gatherfed.py); scenes with non-baseColor
+    # textures still fall back to XLA shading
+    from vkrt_tpu.scene import SceneArrays  # noqa: F401
+
+    assert kernel_shading_available(
         box, pt._replace(cs=pt.cs._replace(attr_cols=()))
     )
+    nmap = box._replace(
+        mat_normal_tex=jnp.zeros_like(box.mat_normal_tex)  # slot 0 "used"
+    )
+    assert not kernel_shading_available(nmap, pt)
 
 
 def _edge_scene(n_mats, n_lights, metallic=0.0, roughness=0.6, seed=11):

@@ -183,24 +183,44 @@ def _material_surface(scene, mat_id, uv, world_pos, world_nrm, world_tag,
 
         if uv_grads is None:
             fetch_data = fetch
-        base_color = base_factor * fetch(base_tex)[:, :3]
-        mr = fetch_data(mr_tex)
+        # Per-SLOT static gating (round 5): a scene counts as textured when
+        # ANY slot is used, but each slot's fetch is skipped independently
+        # when NO material references it — a fetch over all-(-1) indices
+        # returns white, so skipping is bit-identical, and the path-trace
+        # fetch fan drops 4x on baseColor-only scenes (the city: 4 fetches
+        # emitted, 1 meaningful — stagebench3 attribution).
+        from vkrt_tpu.scene import _tex_slot_used
+
+        base_color = base_factor
+        if _tex_slot_used(scene.mat_base_tex):
+            base_color = base_factor * fetch(base_tex)[:, :3]
         # roughness in G, metalness in B (gltf.glsl:40-44); no-texture => 1
-        roughness = rough_f * mr[:, 1]
-        metallic = metal_f * mr[:, 2]
-        emissive = emis_f * fetch(emis_tex)[:, :3]
-        # Normal mapping (rchit:93-106): TBN = (worldTag, worldBin, worldNrm);
-        # when a normal texture exists the frame is rebuilt around texNormal.
-        tex_n_rgb = fetch_data(normal_tex)[:, :3]
-        mapped = normalize(tex_n_rgb * 2.0 - 1.0)
-        mapped_world = normalize(
-            local_to_world(mapped, world_tag, world_bin, world_nrm)
-        )
-        has_nmap = (normal_tex >= 0)[:, None]
-        shading_normal = jnp.where(has_nmap, mapped_world, world_nrm)
-        nt, nb = create_coordinate_system(shading_normal)
-        tangent = jnp.where(has_nmap, nt, world_tag)
-        binormal = jnp.where(has_nmap, nb, world_bin)
+        roughness, metallic = rough_f, metal_f
+        if _tex_slot_used(scene.mat_mr_tex):
+            mr = fetch_data(mr_tex)
+            roughness = rough_f * mr[:, 1]
+            metallic = metal_f * mr[:, 2]
+        emissive = emis_f
+        if _tex_slot_used(scene.mat_emissive_tex):
+            emissive = emis_f * fetch(emis_tex)[:, :3]
+        if _tex_slot_used(scene.mat_normal_tex):
+            # Normal mapping (rchit:93-106): TBN = (worldTag, worldBin,
+            # worldNrm); with a normal texture the frame is rebuilt around
+            # texNormal.
+            tex_n_rgb = fetch_data(normal_tex)[:, :3]
+            mapped = normalize(tex_n_rgb * 2.0 - 1.0)
+            mapped_world = normalize(
+                local_to_world(mapped, world_tag, world_bin, world_nrm)
+            )
+            has_nmap = (normal_tex >= 0)[:, None]
+            shading_normal = jnp.where(has_nmap, mapped_world, world_nrm)
+            nt, nb = create_coordinate_system(shading_normal)
+            tangent = jnp.where(has_nmap, nt, world_tag)
+            binormal = jnp.where(has_nmap, nb, world_bin)
+        else:
+            shading_normal = world_nrm
+            tangent = world_tag
+            binormal = world_bin
     else:
         # untextured scene (checked statically at trace time): all texture
         # fetches are identity — skip the gather passes entirely

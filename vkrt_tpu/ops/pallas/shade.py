@@ -24,10 +24,15 @@ call (or the epilogue) once the fused trace has produced the shadow
 verdicts — the same software pipelining the XLA path used, now with the
 resolve math inside the kernel.
 
-Scope (gated by ``kernel_shading_available``): untextured scenes with
-<= MAX_MATS materials and <= MAX_LIGHTS lights on an attribute-resolving
-PallasTracer. Texture fetches are HBM gathers, which Mosaic cannot do
-per-lane — textured scenes keep the XLA shading stage.
+Scope (gated by ``kernel_shading_available``): scenes with <= MAX_MATS
+materials and <= MAX_LIGHTS lights on a PallasTracer, untextured or with
+baseColor-only texturing. Texture fetches and attribute gathers are HBM
+gathers, which Mosaic cannot do per-lane — so they stay in XLA as thin
+feeder stages (round 5): non-resolving tracers get their resolve-layout
+block built by ``xla_resolve_blocks`` (plain trace + corner gathers +
+delta interpolation), and baseColor textures ride in as an externally
+fetched albedo block (``xla_albedo_block``). Scenes with mr / emissive /
+normal-map textures keep the full XLA shading stage.
 """
 
 from __future__ import annotations
@@ -71,13 +76,28 @@ RAY_COLS = 7      # [o.xyz | d.xyz | t_lim] — ops.pallas.trace._pack_rays
 
 
 def kernel_shading_available(scene, tracer) -> bool:
-    """Static gate: can the packed shade kernel run this scene?"""
-    from vkrt_tpu.scene import scene_is_textured
+    """Static gate: can the packed shade kernel run this scene?
 
+    Round 5 widened the gate two ways (stagebench2/3: the composed XLA
+    shading stage costs ~75-106 ms/bounce at 1280x720 — the kernel is the
+    single biggest frame lever, so coverage matters):
+
+    * **Textured scenes whose only texture use is baseColor** run with an
+      externally fetched albedo block (one XLA bilinear fetch feeding an
+      extra kernel input) — mr/emissive/normal fetches are identity there.
+    * **Non-resolving tracers** (attr tables over the VMEM budget —
+      city-scale scenes) run gather-fed: a plain trace plus an XLA
+      attribute-gather/interpolation stage builds the resolve-layout block
+      the kernel already consumes (xla_resolve_blocks).
+    """
+    from vkrt_tpu.scene import scene_base_only_textured, scene_is_textured
+
+    tex_ok = (not scene_is_textured(scene)
+              or scene_base_only_textured(scene))
     return (
-        bool(getattr(tracer, "resolves_attrs", False))
+        hasattr(tracer, "closest_packed_plain")  # PallasTracer API
         and not hasattr(tracer, "with_seed")  # alpha wrapper falls back
-        and not scene_is_textured(scene)
+        and tex_ok
         and scene.mat_base_color.shape[0] <= MAX_MATS
         and scene.num_lights <= MAX_LIGHTS
     )
@@ -168,14 +188,22 @@ def _shade_kernel(
     t_min: float,
     t_max: float,
     corr: bool = False,
+    albedo: bool = False,
 ):
-    if first:
-        (mat_tab, light_tab, params, carry_ref, ray_ref, out_ref,
-         carry_o, next_o, shadow_o) = refs
-        outsh_ref = None
-    else:
-        (mat_tab, light_tab, params, carry_ref, ray_ref, out_ref, outsh_ref,
-         carry_o, next_o, shadow_o) = refs
+    refs = list(refs)
+    mat_tab, light_tab, params, carry_ref, ray_ref, out_ref = refs[:6]
+    k = 6
+    outsh_ref = None
+    if not first:
+        outsh_ref = refs[k]
+        k += 1
+    alb_ref = None
+    if albedo:
+        # (R, 3*128) externally fetched baseColor texture values (round-5
+        # gather-fed mode): multiplied into the factor-table base color
+        alb_ref = refs[k]
+        k += 1
+    carry_o, next_o, shadow_o = refs[k:]
 
     def col(ref, k):
         return ref[:, k * LANES : (k + 1) * LANES]
@@ -271,6 +299,12 @@ def _shade_kernel(
         emr = jnp.where(sel, mat_tab[m, 5], emr)
         emg = jnp.where(sel, mat_tab[m, 6], emg)
         emb = jnp.where(sel, mat_tab[m, 7], emb)
+    if albedo:
+        # base_color = base_factor * fetch(base_tex) (shading.py
+        # _material_surface); the fetch ran in XLA where gathers live
+        baser = baser * col(alb_ref, 0)
+        baseg = baseg * col(alb_ref, 1)
+        baseb = baseb * col(alb_ref, 2)
 
     # --- sample_bsdf (models/shading.py, rchit:118-218) ---------------------
     vx, vy, vz = _normalize3(-dx, -dy, -dz)
@@ -528,7 +562,7 @@ def shade_call(
     d: int, first: bool, resolve_hd: bool, n_mats: int, n_lights: int,
     hitdist_weight: float, hitdist_accumulate: bool,
     t_min: float, t_max: float, interpret: bool,
-    trace_out_shadow=None, corr: bool = False,
+    trace_out_shadow=None, corr: bool = False, albedo=None,
 ):
     """One shade step over packed blocks.
 
@@ -563,13 +597,16 @@ def shade_call(
         assert trace_out_shadow is not None
         in_specs.append(blk(OUT_COLS_PLAIN))
         operands.append(trace_out_shadow)
+    if albedo is not None:
+        in_specs.append(blk(3))
+        operands.append(albedo)
 
     kernel = functools.partial(
         _shade_kernel,
         d=d, first=first, resolve_hd=resolve_hd, n_mats=n_mats,
         n_lights=n_lights,
         hitdist_weight=hitdist_weight, hitdist_accumulate=hitdist_accumulate,
-        t_min=t_min, t_max=t_max, corr=corr,
+        t_min=t_min, t_max=t_max, corr=corr, albedo=albedo is not None,
     )
     carry2, next_rays, shadow_rays = pl.pallas_call(
         kernel,
@@ -613,6 +650,94 @@ def pack_lanes(arrs, n: int, prog_rows: int = PROG_ROWS):
 def unpack_lane(blockarr, k: int, n: int):
     """Column slot k of a packed block -> (N,) f32."""
     return blockarr[:, k * LANES : (k + 1) * LANES].reshape(-1)[:n]
+
+
+def xla_resolve_blocks(scene, tracer, out_plain):
+    """Plain trace output -> resolve-layout block, attributes gathered in XLA.
+
+    Round-5 gather-fed mode: scenes whose attribute tables exceed the
+    kernel VMEM budget (city-scale) cannot resolve in-kernel, but the
+    packed shade kernel consumes a fixed (R, OUT_COLS_RESOLVE*128) layout —
+    so gather the winning triangle's corner attributes from HBM (where XLA
+    does gathers) and interpolate with the SAME delta form the kernel uses
+    (raytrace.rchit:41-79 parity: value = a0 + u*(a1-a0) + v*(a2-a0)).
+    ~112 gathered bytes/ray; the (N,3) BSDF math that made the XLA shading
+    stage cost ~75-106 ms/bounce stays in the kernel (stagebench2/3 r5).
+
+    Pad/miss lanes (idx < 0) get zero attributes, matching the kernel's
+    resolve output contract.
+    """
+    rows = out_plain.shape[0]
+    nf = rows * LANES
+
+    def col(k):
+        return out_plain[:, k * LANES : (k + 1) * LANES].reshape(-1)
+
+    t = col(0)
+    idx = jax.lax.bitcast_convert_type(
+        out_plain[:, LANES : 2 * LANES], jnp.int32
+    ).reshape(-1)
+    hit = idx >= 0
+    u = col(2)
+    v = col(3)
+    tri = jnp.take(tracer.cs.tri_remap, jnp.maximum(idx, 0))
+    safe = jnp.where(hit, jnp.maximum(tri, 0), 0)
+
+    def interp(corner):  # (T,3,k) -> (Nf,k) barycentric delta form
+        c = jnp.take(corner, safe, axis=0)
+        return (c[:, 0] + u[:, None] * (c[:, 1] - c[:, 0])
+                + v[:, None] * (c[:, 2] - c[:, 0]))
+
+    m = hit[:, None]
+    nrm = jnp.where(m, interp(scene.corner_normal), 0.0)
+    tan4 = jnp.take(scene.corner_tangent, safe, axis=0)
+    tan = jnp.where(
+        m,
+        tan4[:, 0, :3] + u[:, None] * (tan4[:, 1, :3] - tan4[:, 0, :3])
+        + v[:, None] * (tan4[:, 2, :3] - tan4[:, 0, :3]),
+        0.0,
+    )
+    tw = jnp.where(hit, tan4[:, 0, 3], 0.0)
+    uv = jnp.where(m, interp(scene.corner_uv), 0.0)
+    mat = jnp.where(hit, jnp.take(scene.tri_mat, safe).astype(jnp.float32),
+                    0.0)
+
+    def lane(a):
+        return a.reshape(rows, LANES)
+
+    return jnp.concatenate(
+        [out_plain[:, : 4 * LANES],
+         lane(nrm[:, 0]), lane(nrm[:, 1]), lane(nrm[:, 2]),
+         lane(tan[:, 0]), lane(tan[:, 1]), lane(tan[:, 2]),
+         lane(tw),
+         lane(uv[:, 0]), lane(uv[:, 1]),
+         lane(mat)],
+        axis=1,
+    )
+
+
+def xla_albedo_block(scene, trace_out):
+    """BaseColor texture fetch for a resolve-layout block -> (R, 3*128).
+
+    The path-mode fetch semantics (bilinear level-0 REPEAT, shading.py
+    _material_surface with lod=None); uv comes from the block's resolved
+    uv slots (11, 12), the texture index from the material slot (13).
+    Only meaningful under scene_base_only_textured gating.
+    """
+    from vkrt_tpu.ops.texture import sample_texture
+
+    rows = trace_out.shape[0]
+
+    def col(k):
+        return trace_out[:, k * LANES : (k + 1) * LANES].reshape(-1)
+
+    uv = jnp.stack([col(11), col(12)], axis=1)
+    mat = col(13).astype(jnp.int32)
+    base_tex = jnp.take(scene.mat_base_tex, jnp.maximum(mat, 0))
+    rgba = sample_texture(scene.tex_rgba, scene.tex_size, base_tex, uv)
+    return jnp.concatenate(
+        [rgba[:, k].reshape(rows, LANES) for k in range(3)], axis=1
+    )
 
 
 def bounce_chain_packed(
@@ -689,6 +814,14 @@ def bounce_chain_packed(
     out_sh = None
     corr = corr_seed is not None
     n_blocks = carry_blk.shape[0] // PROG_ROWS
+    # Round-5 coverage modes (kernel_shading_available): tracers without
+    # resident attr tables (city-scale scenes) trace PLAIN and the resolve
+    # block is built by XLA gathers; baseColor-only textured scenes feed
+    # the kernel an externally fetched albedo block.
+    resolve_in_kernel = bool(getattr(tracer, "resolves_attrs", False))
+    from vkrt_tpu.scene import scene_base_only_textured
+
+    fetch_albedo = scene_base_only_textured(scene)
     for d in range(start_depth, depth):
         params_d = params
         if corr:
@@ -697,7 +830,13 @@ def bounce_chain_packed(
             params_d = jnp.concatenate(
                 [params, block_table_rep(n_blocks, corr_seed, d)], axis=0
             )
-        out = tracer.closest_packed(ray_cur, t_min)
+        if resolve_in_kernel:
+            out = tracer.closest_packed(ray_cur, t_min)
+        else:
+            out = xla_resolve_blocks(
+                scene, tracer, tracer.closest_packed_plain(ray_cur, t_min)
+            )
+        alb = xla_albedo_block(scene, out) if fetch_albedo else None
         carry_blk, next_rays, shadow_rays = shade_call(
             mat_tab, light_tab, params_d, carry_blk, ray_cur, out,
             d=d, first=first, resolve_hd=(not first and d - 1 == 1),
@@ -706,7 +845,7 @@ def bounce_chain_packed(
             hitdist_accumulate=hitdist_accumulate,
             t_min=t_min, t_max=t_max,
             interpret=tracer.interpret,
-            trace_out_shadow=out_sh, corr=corr,
+            trace_out_shadow=out_sh, corr=corr, albedo=alb,
         )
         rays_shadow = rays_shadow + jnp.sum(
             carry_blk[:, C_PSH * LANES : (C_PSH + 1) * LANES]

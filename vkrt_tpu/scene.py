@@ -367,6 +367,41 @@ def scene_is_textured(scene: SceneArrays) -> bool:
         return True
 
 
+def scene_base_only_textured(scene: SceneArrays) -> bool:
+    """True when the scene's ONLY texture use is baseColor.
+
+    Such scenes can run the packed shade kernel with an externally fetched
+    albedo block (ops.pallas.shade round-5 gather-fed mode): the mr /
+    emissive / normal-map fetches are identity, so the kernel's
+    factor-table material stage plus one albedo multiply reproduces the
+    XLA texture path exactly. Conservatively False for tracers."""
+    try:
+        return (
+            _tex_slot_used(scene.mat_base_tex)
+            and not _tex_slot_used(scene.mat_mr_tex)
+            and not _tex_slot_used(scene.mat_normal_tex)
+            and not _tex_slot_used(scene.mat_emissive_tex)
+        )
+    except Exception:
+        return False
+
+
+def _tex_slot_used(mat_tex_idx) -> bool:
+    """Static per-slot texture gate: does ANY material use this slot?
+
+    Same contract as scene_is_textured (concrete closure-captured arrays,
+    conservatively True for tracers). Skipping an unused slot's fetch is
+    bit-identical — a fetch over all-(-1) indices returns white/identity —
+    and drops the path tracer's 4-fetch fan to the slots the scene
+    actually has (round-5 stagebench3 attribution)."""
+    try:
+        from vkrt_tpu.utils.hostmirror import asnumpy as _np_of
+
+        return bool((_np_of(mat_tex_idx) >= 0).any())
+    except Exception:
+        return True
+
+
 # ---------------------------------------------------------------------------
 # Procedural scenes (the bench/test substitutes for assets the reference
 # config lists but does not ship: Sponza, fireplace, suntemple).
