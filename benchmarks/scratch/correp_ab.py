@@ -66,10 +66,20 @@ def main():
         return jnp.sum(out[:, 0])
 
     fns = {}
+    def make_frame():
+        # distinct function object per variant: two jax.jit wrappers over
+        # the SAME callable share the trace cache, so variant B silently
+        # reuses variant A's executable (caught in sandwich_ab: identical
+        # sums + 0.6s "compile"). The round-5 rep=1/2/4 "no-op" reading
+        # taken before this fix was three runs of rep=1.
+        def f():
+            return frame()
+        return f
+
     rep0 = rng.CORR_REP  # restore the env-configured value, not literal 1
     for rep in (1, 2, 4):
         rng.CORR_REP = rep
-        f = jax.jit(frame)
+        f = jax.jit(make_frame())
         t0 = time.perf_counter()
         jax.device_get(f())  # traces under this rep
         print(f"[rep={rep}] compile+frame0 {time.perf_counter()-t0:.1f}s",

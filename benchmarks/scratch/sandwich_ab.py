@@ -56,19 +56,26 @@ def main():
     accum = jnp.zeros((n, 3), jnp.float32)
     clear = jnp.asarray([1.0, 1.0, 1.0, 1.0], jnp.float32)
 
-    def frame():
-        out, _ = pathtrace_frame(
-            scene, pt, cam, 1, accum, clear, width=w, height=h,
-            samples=1, depth=depth, pix=pix, seeds=seeds, corr=True,
-        )
-        return jnp.sum(out[:, 0]), out[: 4, 0]
-
     fns, spot = {}, {}
     for flag in ("0", "1"):
         os.environ["VKRT_SHADE_KERNEL"] = flag
-        f = jax.jit(frame)
+
+        # distinct function object per variant: jax.jit caches by callable
+        # identity, so jitting ONE shared closure twice would silently hand
+        # variant B variant A's executable (observed: bit-identical sums
+        # and a 0.6 s "compile")
+        def make_frame():
+            def frame():
+                out, _ = pathtrace_frame(
+                    scene, pt, cam, 1, accum, clear, width=w, height=h,
+                    samples=1, depth=depth, pix=pix, seeds=seeds, corr=True,
+                )
+                return jnp.sum(out[:, 0])
+            return frame
+
+        f = jax.jit(make_frame())
         t0 = time.perf_counter()
-        s, head = jax.device_get(f())  # traces under this flag
+        s = jax.device_get(f())  # traces under this flag
         assert np.isfinite(s), f"non-finite frame sum under flag {flag}"
         spot[flag] = float(s)
         print(f"[kernel={flag}] compile+frame0 {time.perf_counter()-t0:.1f}s"
