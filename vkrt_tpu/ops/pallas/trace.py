@@ -290,15 +290,18 @@ def spec_for_scene(n_tris: int) -> TraceSpec:
         spec = dataclasses.replace(spec, cluster=128)
     if not _DYN_WORDS_PINNED and n_tris >= BIG_SCENE_TRIS:
         spec = dataclasses.replace(spec, dyn_words=True)
-    if not _BLOCK_ROWS_PINNED and n_tris < BIG_SCENE_TRIS:
+    if not _BLOCK_ROWS_PINNED:
         # 2048-ray blocks under the round-4 CORRELATED sampler: the shared
         # per-block draw set doubles its amortization and the per-program
         # overhead halves, while the coherent pool keeps the footprint
-        # union from widening. Interleaved on-device A/B (envsweep):
-        # Cornell d3 43.1 -> 39.7 ms (-7.9%); the city measured +2.0%
-        # (its saturated footprint DOES widen), so big scenes keep 8.
-        # Pre-corr (independent draws) 16 measured a no-op — this flip is
-        # only correct because corr_sampler is the default.
+        # union from widening. Interleaved on-device A/Bs (envsweep):
+        # Cornell d3 43.1 -> 39.7 ms (-7.9%, r4); the city measured +2.0%
+        # pre-sandwich (shading-dominated frame masked the trace effect)
+        # but -4.9% once the gather-fed shade kernel made the frame
+        # trace-launch-heavy again (416.3 -> 396.1 ms, r5; rows=32 -4.3%),
+        # so 16 is now universal. Pre-corr (independent draws) 16 measured
+        # a no-op — this flip is only correct because corr_sampler is the
+        # default.
         spec = dataclasses.replace(spec, block_rows=16)
     return spec
 
